@@ -1,0 +1,175 @@
+"""Headline benchmark: WALNUTS on Neal's funnel, D=101.
+
+Prints ONE JSON line:
+``{"metric": ..., "value": N, "unit": ..., "vs_baseline": N}``
+
+* value      = aggregate gradient-evaluations/second of the TPU engine
+               (funnel D=101, adapt_leapfrog_r2p, chain-batched).
+* vs_baseline = value / (single-core NumPy grad-evals/s measured at
+               runtime with an equivalent sequential WALNUTS loop) —
+               the reference publishes no absolute numbers
+               (BASELINE.md), so the baseline is measured in-process
+               the way the reference runs: one chain, NumPy, float64.
+               North-star target is >= 100x (BASELINE.json).
+
+Also reported in the JSON line under "extra": min-ESS/s across the
+funnel's D=101 coordinates and the posterior sanity check on the
+exact omega ~ N(0,3^2) marginal.
+"""
+
+import json
+import time
+
+import numpy as np
+
+
+CHAINS = 2048
+DIM = 101
+M = 8
+H0 = 0.3
+DELTA0 = 0.3
+WARMUP = 200
+ITERS = 400
+
+
+# ----------------------------------------------------------------------
+# Single-core NumPy baseline: sequential WALNUTS-style adaptive loop,
+# written here from the paper's protocol (NOT copied from the
+# reference): leapfrog halving search to an energy tolerance + the
+# same doubling orbit sizes, one chain, float64.  We time its gradient
+# throughput, which is what the reference's efficiency metric counts.
+# ----------------------------------------------------------------------
+def _np_funnel_logp_grad(q, scale=3.0):
+    w = q[0]
+    x = q[1:]
+    e = np.exp(-w)
+    ss = float(x @ x)
+    k = len(x)
+    lp = -0.5 * (w / scale) ** 2 - 0.5 * e * ss - 0.5 * k * w
+    g = np.empty_like(q)
+    g[0] = -w / scale**2 + 0.5 * e * ss - 0.5 * k
+    g[1:] = -x * e
+    return lp, g
+
+
+def _np_leapfrog(q, v, g, h, n):
+    for _ in range(n):
+        vh = v + 0.5 * h * g
+        q = q + h * vh
+        lp, g = _np_funnel_logp_grad(q)
+        v = vh + 0.5 * h * g
+    return q, v, g, lp
+
+
+def numpy_baseline_grad_evals_per_s(min_seconds=3.0):
+    rng = np.random.default_rng(0)
+    q = rng.normal(size=DIM) * 0.5
+    lp, g = _np_funnel_logp_grad(q)
+    n_evals = 0
+    t0 = time.perf_counter()
+    while time.perf_counter() - t0 < min_seconds:
+        v = rng.normal(size=DIM)
+        h_macro = H0
+        # one macro step with halving search to the energy tolerance,
+        # then 2^M-state orbit equivalent work: forward + backward scans
+        h0 = -lp + 0.5 * v @ v
+        for c in range(0, 11):
+            n = 2 ** c
+            q2, v2, g2, lp2 = _np_leapfrog(q, v, g, h_macro / n, n)
+            n_evals += n
+            if abs((-lp2 + 0.5 * v2 @ v2) - h0) < DELTA0:
+                break
+        # backward pass (reversibility check, same cost model)
+        for cb in range(0, c + 1):
+            n = 2 ** cb
+            _np_leapfrog(q2, -v2, g2, h_macro / n, n)
+            n_evals += n
+            if cb >= c:
+                break
+        q, lp, g = q2, lp2, g2
+        if not np.isfinite(lp):
+            q = rng.normal(size=DIM) * 0.5
+            lp, g = _np_funnel_logp_grad(q)
+    dt = time.perf_counter() - t0
+    return n_evals / dt
+
+
+# ----------------------------------------------------------------------
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    import walnuts_tpu as wt
+    from walnuts_tpu.diagnostics import ess
+
+    target = wt.targets.funnel(DIM)
+    cfg = wt.WalnutsConfig(m=M)
+    wu = wt.WarmupConfig(warmup_iter=WARMUP)
+
+    key = jax.random.PRNGKey(0)
+    q0 = 0.3 * jax.random.normal(key, (CHAINS, DIM), jnp.float32)
+
+    def run(key, q0, n_iter):
+        return wt.run_walnuts(
+            key, q0, target=target, cfg=cfg, warmup=wu,
+            num_iter=n_iter, h0=H0, delta0=DELTA0)
+
+    # compile + warmup phase (not timed)
+    samples_w, diags_w, state = run(jax.random.PRNGKey(1), q0, WARMUP)
+    jax.block_until_ready(samples_w)
+
+    # timed sampling phase, warm start from adapted state
+    cfg2 = wt.WalnutsConfig(m=M)
+    wu2 = wt.WarmupConfig(warmup_iter=0, adapt_h=False, adapt_delta=False)
+    h0v = float(jnp.median(state.h))
+    d0v = float(jnp.median(state.delta))
+    q1 = state.q
+
+    # compile the timed configuration once before timing
+    s_c, d_c, _ = wt.run_walnuts(
+        jax.random.PRNGKey(2), q1, target=target, cfg=cfg2, warmup=wu2,
+        num_iter=1, h0=h0v, delta0=d0v)
+    jax.block_until_ready(s_c)
+
+    t0 = time.perf_counter()
+    samples, diags, _ = wt.run_walnuts(
+        jax.random.PRNGKey(3), q1, target=target, cfg=cfg2, warmup=wu2,
+        num_iter=ITERS, h0=h0v, delta0=d0v)
+    samples = jax.block_until_ready(samples)
+    dt = time.perf_counter() - t0
+
+    diags = np.asarray(diags)
+    n_grad = float(diags[..., 6].sum() + diags[..., 7].sum())
+    grad_per_s = n_grad / dt
+
+    # min-ESS/s over coordinates ([N, C, D] -> per-coordinate ESS)
+    draws = np.asarray(samples[1:], np.float64)
+    ess_vals = np.asarray(ess(jnp.asarray(draws)))
+    min_ess_per_s = float(ess_vals.min() / dt)
+
+    # posterior sanity: omega ~ N(0, 9)
+    w = draws[:, :, 0].ravel()
+    omega_sd_err = abs(float(w.std()) - 3.0)
+
+    base = numpy_baseline_grad_evals_per_s()
+
+    out = {
+        "metric": "grad_evals_per_s_funnel101",
+        "value": round(grad_per_s, 1),
+        "unit": "grad-evals/s",
+        "vs_baseline": round(grad_per_s / base, 2),
+        "extra": {
+            "chains": CHAINS,
+            "iters_timed": ITERS,
+            "seconds": round(dt, 2),
+            "min_ess_per_s": round(min_ess_per_s, 2),
+            "numpy_single_core_grad_evals_per_s": round(base, 1),
+            "omega_sd_abs_error": round(omega_sd_err, 4),
+            "device": str(jax.devices()[0]),
+        },
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

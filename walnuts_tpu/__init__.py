@@ -10,7 +10,7 @@ searches; warmup adaptation as scan carries; chains sharded over a
 
 __version__ = "0.1.0"
 
-from . import targets, ops, sampler, utils
+from . import targets, ops, sampler, utils, parallel, diagnostics
 from .targets import Target
 from .ops import IntegratorConfig
 from .sampler import (
@@ -25,6 +25,8 @@ __all__ = [
     "ops",
     "sampler",
     "utils",
+    "parallel",
+    "diagnostics",
     "Target",
     "IntegratorConfig",
     "WalnutsConfig",

@@ -33,6 +33,7 @@ bought back by running thousands of chains per chip.
 """
 
 import math
+from functools import partial
 from typing import NamedTuple
 
 import jax
@@ -47,6 +48,7 @@ from .leapfrog import (
     leapfrog_step,
     yoshida_step,
     leapfrog_flow_step,
+    implicit_midpoint_step,
 )
 
 _IGR_FLOOR = 1e-30  # guards max_dh == 0 -> inf in the d^{-1/3} model
@@ -99,13 +101,13 @@ def _trial_error(trial: MultistepResult, h0, criterion):
 
 
 def _forward_search(target, start, h0, h_macro, delta, inv_mass, cfg,
-                    step_fn, epr, criterion, active):
+                    step_fn, criterion, active):
     """Sweep c = min_c..max_c; per chain take the first accepted trial,
     or the max_c trial if none accepts (``adaptiveIntegrators.py:69-94``)."""
     zeros_i = jnp.zeros_like(h0, jnp.int32)
     init_result = MultistepResult(
         start, h0, jnp.zeros_like(h0), jnp.zeros_like(h0),
-        jnp.ones(h0.shape, bool),
+        jnp.ones(h0.shape, bool), zeros_i,
     )
 
     def cond(carry):
@@ -124,7 +126,7 @@ def _forward_search(target, start, h0, h_macro, delta, inv_mass, cfg,
         result = tree_where(take, trial, result)
         i_f = jnp.where(take, c, i_f)
         igr = jnp.where(take, _igr(h_micro, trial.max_dh), igr)
-        neval = neval + jnp.where(done, 0, nsteps * epr)
+        neval = neval + trial.n_evals
         return (c + 1, done | take, result, i_f, igr, neval)
 
     init = (jnp.asarray(cfg.min_c, jnp.int32), ~active, init_result,
@@ -134,7 +136,7 @@ def _forward_search(target, start, h0, h_macro, delta, inv_mass, cfg,
 
 
 def _backward_search(target, end: PhasePoint, h0b, h_macro, delta, inv_mass,
-                     cfg, step_fn, epr, criterion, max_try, default_ib, active):
+                     cfg, step_fn, criterion, max_try, default_ib, active):
     """Sweep c = min_c..max_try (per-chain bound) from the flipped
     endpoint; first accepted c is ``Ib``
     (``adaptiveIntegrators.py:107-132,440-464``)."""
@@ -155,7 +157,7 @@ def _backward_search(target, end: PhasePoint, h0b, h_macro, delta, inv_mass,
         err = _trial_error(trial, h0b, criterion)
         accept = do & trial.all_finite & (err < delta)
         i_b = jnp.where(accept, c, i_b)
-        neval = neval + jnp.where(do, nsteps * epr, 0)
+        neval = neval + trial.n_evals
         return (c + 1, found | accept, i_b, neval)
 
     init = (jnp.asarray(cfg.min_c, jnp.int32), ~active, default_ib, zeros_i)
@@ -194,7 +196,7 @@ def fixed_leapfrog(key, target, q, v, g, lp, h0, h_macro, xi, delta,
     """Plain single leapfrog step (``adaptiveIntegrators.py:49-59``)."""
     start = _oriented_start(q, v, g, lp, xi)
     hh = jnp.where(active, h_macro, 0.0)
-    end, _, _ = leapfrog_step(target, start, hh, inv_mass)
+    end, _, _, _ = leapfrog_step(target, start, hh, inv_mass)
     h_end = -end.lp + 0.5 * jnp.sum(
         end.v * (end.v if inv_mass is None else inv_mass * end.v), axis=-1
     )
@@ -206,16 +208,16 @@ def fixed_leapfrog(key, target, q, v, g, lp, h0, h_macro, xi, delta,
 
 
 def _adaptive_d(key, target, q, v, g, lp, h0, h_macro, xi, delta, inv_mass,
-                active, cfg, step_fn, epr, criterion):
+                active, cfg, step_fn, criterion):
     """Deterministic halving protocol shared by the D-family."""
     start = _oriented_start(q, v, g, lp, xi)
     fw, i_f, igr, n_eval_f = _forward_search(
-        target, start, h0, h_macro, delta, inv_mass, cfg, step_fn, epr,
+        target, start, h0, h_macro, delta, inv_mass, cfg, step_fn,
         criterion, active)
     end = fw.state
     bw_active = active & (i_f > cfg.min_c)
     i_b, n_eval_b = _backward_search(
-        target, end, fw.h_end, h_macro, delta, inv_mass, cfg, step_fn, epr,
+        target, end, fw.h_end, h_macro, delta, inv_mass, cfg, step_fn,
         criterion, max_try=i_f - 1, default_ib=i_f, active=bw_active)
     lwt = jnp.where(i_f != i_b, LOG_ZERO, 0.0).astype(h0.dtype)
     return _finish(start, end, xi, fw.h_end, active, lp, h0,
@@ -225,13 +227,13 @@ def _adaptive_d(key, target, q, v, g, lp, h0, h_macro, xi, delta, inv_mass,
 def adapt_leapfrog_d(key, target, q, v, g, lp, h0, h_macro, xi, delta,
                      inv_mass, active, cfg):
     return _adaptive_d(key, target, q, v, g, lp, h0, h_macro, xi, delta,
-                       inv_mass, active, cfg, leapfrog_step, 1, "energy")
+                       inv_mass, active, cfg, leapfrog_step, "energy")
 
 
 def adapt_yoshida_d(key, target, q, v, g, lp, h0, h_macro, xi, delta,
                     inv_mass, active, cfg):
     return _adaptive_d(key, target, q, v, g, lp, h0, h_macro, xi, delta,
-                       inv_mass, active, cfg, yoshida_step, 3, "energy")
+                       inv_mass, active, cfg, yoshida_step, "energy")
 
 
 def adapt_leapfrog_flow_d(key, target, q, v, g, lp, h0, h_macro, xi, delta,
@@ -240,7 +242,24 @@ def adapt_leapfrog_flow_d(key, target, q, v, g, lp, h0, h_macro, xi, delta,
     # (``adaptiveIntegrators.py:250``); reproduce by forcing min_c=0.
     cfg0 = cfg._replace(min_c=0)
     return _adaptive_d(key, target, q, v, g, lp, h0, h_macro, xi, delta,
-                       inv_mass, active, cfg0, leapfrog_flow_step, 2, "flow")
+                       inv_mass, active, cfg0, leapfrog_flow_step, "flow")
+
+
+def adapt_implicit_midpoint_d(key, target, q, v, g, lp, h0, h_macro, xi,
+                              delta, inv_mass, active, cfg):
+    """Implicit midpoint with per-micro-step fixed-point (or Newton)
+    solves under the deterministic halving protocol
+    (``adaptiveIntegrators.py:478-641``).  A refinement level at which
+    any micro step fails to converge is rejected via the trial's
+    ``all_finite`` flag; if that persists through ``max_c`` the
+    returned energy is non-finite and the orbit layer force-rejects
+    (stop code 999) instead of the reference's ``sys.exit``.
+    """
+    step_fn = partial(
+        implicit_midpoint_step,
+        fp_tol=cfg.fp_tol, max_fp_iter=cfg.max_fp_iter, newton=cfg.fp_newton)
+    return _adaptive_d(key, target, q, v, g, lp, h0, h_macro, xi, delta,
+                       inv_mass, active, cfg, step_fn, "energy")
 
 
 def adapt_leapfrog_r2p(key, target, q, v, g, lp, h0, h_macro, xi, delta,
@@ -255,7 +274,7 @@ def adapt_leapfrog_r2p(key, target, q, v, g, lp, h0, h_macro, xi, delta,
     """
     start = _oriented_start(q, v, g, lp, xi)
     fw, i_f, igr_f, n_eval_f = _forward_search(
-        target, start, h0, h_macro, delta, inv_mass, cfg, leapfrog_step, 1,
+        target, start, h0, h_macro, delta, inv_mass, cfg, leapfrog_step,
         "energy", active)
 
     coarse = jax.random.uniform(key, h0.shape) < cfg.r2p_prob0
@@ -266,7 +285,7 @@ def adapt_leapfrog_r2p(key, target, q, v, g, lp, h0, h_macro, xi, delta,
                                inv_mass, leapfrog_step)
     taken = tree_where(coarse, fw, trial_x)
     igr = jnp.where(coarse, igr_f, _igr(h_micro_x, trial_x.max_dh))
-    n_eval_f = n_eval_f + nsteps_x
+    n_eval_f = n_eval_f + trial_x.n_evals
     c_sim = jnp.where(coarse, i_f, c_fine)
 
     max_try = jnp.where(coarse, i_f - 1, cfg.max_c)
@@ -274,7 +293,7 @@ def adapt_leapfrog_r2p(key, target, q, v, g, lp, h0, h_macro, xi, delta,
     bw_active = active & (max_try >= cfg.min_c)
     i_b, n_eval_b = _backward_search(
         target, taken.state, taken.h_end, h_macro, delta, inv_mass, cfg,
-        leapfrog_step, 1, "energy", max_try, default_ib, bw_active)
+        leapfrog_step, "energy", max_try, default_ib, bw_active)
 
     log_p0 = math.log(cfg.r2p_prob0)
     log_p1 = math.log(1.0 - cfg.r2p_prob0)
@@ -288,12 +307,115 @@ def adapt_leapfrog_r2p(key, target, q, v, g, lp, h0, h_macro, xi, delta,
                    n_eval_f, n_eval_b, i_f, i_b, c_sim, lwt, igr)
 
 
+def _rescaled_sweep(target, q_from, g_from, v_from, h_macro, h0_ref, delta,
+                    thresh, cfg, active, sred_match=None):
+    """One direction of the per-coordinate rescaled-leapfrog search
+    (``adaptiveIntegrators.py:660-762``): repeat a single leapfrog step
+    in coordinates ``q / Sd`` with ``Sd = 2^{-Sred}``, escalating
+    ``Sred`` per coordinate where the mean rescaled gradient magnitude
+    exceeds ``thresh``, or globally on non-finite / over-tolerance
+    energy error, until the step is accepted.
+
+    When ``sred_match`` is given (backward pass), also stop as soon as
+    ``Sred`` equals the forward pass's vector (reference ``:745-748``,
+    which sets ``Ib = c + 1`` in that case)."""
+    C, D = q_from.shape
+    dtype = q_from.dtype
+    zeros_i = jnp.zeros((C,), jnp.int32)
+    sred0 = jnp.zeros((C, D), jnp.int32)
+    init_state = (PhasePoint(q_from, v_from, g_from,
+                             jnp.zeros((C,), dtype)),
+                  jnp.full((C,), jnp.inf, dtype))
+
+    def cond(carry):
+        c, done, *_ = carry
+        return (c <= cfg.max_c) & jnp.any(~done)
+
+    def body(carry):
+        c, done, sred, out_state, out_h, i_acc, neval = carry
+        sd = jnp.exp2(-sred.astype(dtype))
+        h = h_macro[:, None]
+        gb = sd * g_from
+        vh = v_from + 0.5 * h * gb
+        qbn = q_from / sd + h * vh
+        q1 = qbn * sd
+        lp1, g1 = target.logp_grad(q1)
+        gb1 = sd * g1
+        v1 = vh + 0.5 * h * gb1
+        ham1 = -lp1 + 0.5 * jnp.sum(v1 * v1, axis=-1)
+        gb_mean = 0.5 * (jnp.abs(gb) + jnp.abs(gb1))
+
+        finite = jnp.isfinite(ham1)
+        too_big = gb_mean > thresh
+        any_big = jnp.any(too_big, axis=-1)
+        e_bad = jnp.abs(h0_ref - ham1) > delta
+        accept = finite & ~any_big & ~e_bad
+
+        # at max_c the trial is kept regardless, like the reference's
+        # fall-through (qOut = last q1 when the loop never breaks)
+        take = ~done & (accept | (c == cfg.max_c))
+        out_state, out_h = tree_where(
+            take, (PhasePoint(q1, v1, g1, lp1), ham1),
+            (out_state, out_h))
+        i_acc = jnp.where(~done & accept, c, i_acc)
+        neval = neval + (~done).astype(jnp.int32)
+
+        # escalation (order matters: non-finite beats per-coordinate)
+        bump_all = ~finite | (finite & ~any_big & e_bad)
+        sred_new = jnp.where(
+            bump_all[:, None], sred + 1,
+            jnp.where((finite & any_big)[:, None] & too_big, sred + 1, sred))
+        done_new = done | take
+        if sred_match is not None:
+            matched = ~done_new & jnp.all(sred_new == sred_match, axis=-1)
+            i_acc = jnp.where(matched, c + 1, i_acc)
+            done_new = done_new | matched
+        sred = jnp.where(done[:, None], sred, sred_new)
+        return (c + 1, done_new, sred, out_state, out_h, i_acc, neval)
+
+    init = (jnp.zeros((), jnp.int32), ~active, sred0, init_state[0],
+            init_state[1], jnp.full((C,), cfg.max_c, jnp.int32), zeros_i)
+    (_, _, sred, state, h_end, i_acc, neval) = jax.lax.while_loop(
+        cond, body, init)
+    return state, h_end, sred, i_acc, neval
+
+
+def adapt_rescaled_leapfrog_d(key, target, q, v, g, lp, h0, h_macro, xi,
+                              delta, inv_mass, active, cfg):
+    """Experimental per-coordinate step rescaling
+    (``adaptiveIntegrators.py:660-762``).  Reversibility compares the
+    forward and backward ``Sred`` vectors; mismatch weights the state
+    to log-zero.  The diagonal inverse mass is ignored, as in the
+    reference (identity-metric WALNUTSpy convention)."""
+    del inv_mass  # identity metric, as in the reference
+    start = _oriented_start(q, v, g, lp, xi)
+    thresh = cfg.rescaled_grad_thresh
+    fw_state, fw_h, sred_f, i_f, n_eval_f = _rescaled_sweep(
+        target, start.q, start.g, start.v, h_macro, h0, delta, thresh, cfg,
+        active)
+
+    bw_active = active & (i_f > 0)
+    bw_state, bw_h, sred_b, i_b0, n_eval_b = _rescaled_sweep(
+        target, fw_state.q, fw_state.g, -fw_state.v, h_macro, fw_h, delta,
+        thresh, cfg, bw_active, sred_match=sred_f)
+    i_b = jnp.where(i_f > 0, i_b0, i_f)
+    sred_b = jnp.where(bw_active[:, None], sred_b, sred_f)
+
+    mismatch = jnp.any(sred_b != sred_f, axis=-1)
+    lwt = jnp.where(mismatch, LOG_ZERO, 0.0).astype(h0.dtype)
+    igr = jnp.ones_like(h0)
+    return _finish(start, fw_state, xi, fw_h, active, lp, h0,
+                   n_eval_f, n_eval_b, i_f, i_b, i_f, lwt, igr)
+
+
 INTEGRATORS = {
     "fixed_leapfrog": fixed_leapfrog,
     "adapt_leapfrog_d": adapt_leapfrog_d,
     "adapt_yoshida_d": adapt_yoshida_d,
     "adapt_leapfrog_flow_d": adapt_leapfrog_flow_d,
     "adapt_leapfrog_r2p": adapt_leapfrog_r2p,
+    "adapt_implicit_midpoint_d": adapt_implicit_midpoint_d,
+    "adapt_rescaled_leapfrog_d": adapt_rescaled_leapfrog_d,
 }
 
 

@@ -46,7 +46,8 @@ class MultistepResult(NamedTuple):
     h_end: jnp.ndarray        # [C] Hamiltonian at the final state
     max_dh: jnp.ndarray       # [C] max |H_k - H_{k-1}| over executed steps
     max_step_err: jnp.ndarray  # [C] max per-step flow-error estimate
-    all_finite: jnp.ndarray   # [C] bool
+    all_finite: jnp.ndarray   # [C] bool: finite energies AND every step ok
+    n_evals: jnp.ndarray      # [C] int32 gradient evals actually performed
 
 
 def leapfrog_step(target, state: PhasePoint, hh, inv_mass=None):
@@ -54,6 +55,11 @@ def leapfrog_step(target, state: PhasePoint, hh, inv_mass=None):
 
     ``hh`` is per-chain ``[C]``.  (Reference kernel:
     ``adaptiveIntegrators.py:78-84``.)
+
+    Step functions return ``(state, err, ok, nev)`` where ``err`` is a
+    per-step flow-error estimate, ``ok`` flags per-chain step success
+    (always true for explicit steps), and ``nev`` counts per-chain
+    gradient evaluations (int or ``[C]`` array).
     """
     h = hh[:, None]
     vh = state.v + 0.5 * h * state.g
@@ -62,7 +68,8 @@ def leapfrog_step(target, state: PhasePoint, hh, inv_mass=None):
     lp2, g2 = target.logp_grad(q2)
     v2 = vh + 0.5 * h * g2
     err = jnp.zeros_like(hh)
-    return PhasePoint(q2, v2, g2, lp2), err, 1
+    ok = jnp.ones(hh.shape, bool)
+    return PhasePoint(q2, v2, g2, lp2), err, ok, 1
 
 
 def yoshida_step(target, state: PhasePoint, hh, inv_mass=None):
@@ -70,8 +77,8 @@ def yoshida_step(target, state: PhasePoint, hh, inv_mass=None):
     (reference ``adaptiveIntegrators.py:156-175``)."""
     s = state
     for w in (YOSHIDA_W1, YOSHIDA_W2, YOSHIDA_W1):
-        s, _, _ = leapfrog_step(target, s, w * hh, inv_mass)
-    return s, jnp.zeros_like(hh), 3
+        s, _, _, _ = leapfrog_step(target, s, w * hh, inv_mass)
+    return s, jnp.zeros_like(hh), jnp.ones(hh.shape, bool), 3
 
 
 def leapfrog_flow_step(target, state: PhasePoint, hh, inv_mass=None):
@@ -84,7 +91,7 @@ def leapfrog_flow_step(target, state: PhasePoint, hh, inv_mass=None):
     """
     h = hh[:, None]
     q_old, v_old, g_old = state.q, state.v, state.g
-    new, _, _ = leapfrog_step(target, state, hh, inv_mass)
+    new, _, _, _ = leapfrog_step(target, state, hh, inv_mass)
     q2, v2, g2 = new.q, new.v, new.g
 
     q_mid = 0.5 * (q2 + q_old) + (h / 8.0) * (v_old - v2)
@@ -98,13 +105,89 @@ def leapfrog_flow_step(target, state: PhasePoint, hh, inv_mass=None):
     err = jnp.maximum(err, jnp.max(jnp.abs(qb - q_old), axis=-1))
     vb = -(-v2 + (h / 6.0) * (g_old + g2 + 4.0 * g_mid))
     err = jnp.maximum(err, jnp.max(jnp.abs(vb - v_old), axis=-1))
-    return new, err, 2
+    return new, err, jnp.ones(hh.shape, bool), 2
+
+
+def implicit_midpoint_step(target, state: PhasePoint, hh, inv_mass=None, *,
+                           fp_tol=1.0e-8, max_fp_iter=30, newton=False):
+    """One implicit-midpoint micro step solved by fixed-point (or
+    Newton) iteration (reference ``adaptiveIntegrators.py:492-540``).
+
+    The update solves ``q2 = q + h v + (h^2/2) M^{-1} g((q + q2)/2)``
+    from a leapfrog initial guess.  Iteration stops per chain on
+    convergence (``max|dq| < fp_tol``) or divergence
+    (``err > 1.1 * prev_err``, reference ``:521-524``).  A chain whose
+    step fails returns ``ok=False`` and a ``-inf`` density so the
+    orbit layer records a forced rejection instead of the reference's
+    ``sys.exit`` (deviation noted in SURVEY §7.4).
+
+    Newton mode (``auxPar.FPNewton``, reference ``:503-506``) uses the
+    batched target Hessian and a dense solve per iteration.
+    """
+    h = hh[:, None]
+    qq, vv, gg = state.q, state.v, state.g
+    scale = 1.0 if inv_mass is None else inv_mass
+    base = qq + h * (scale * vv)
+    qt0 = base + 0.5 * h * h * (scale * gg)  # leapfrog guess
+    big = jnp.full(hh.shape, 1.0e30, hh.dtype)
+    # the reference's 1e-8 default tolerance is unreachable in float32
+    # (eps ~ 1.2e-7): floor it at 32 ulp of the working dtype scaled by
+    # the position magnitude, so f32 chains can converge
+    eps = jnp.finfo(qq.dtype).eps
+    q_mag = jnp.maximum(jnp.max(jnp.abs(qq), axis=-1), 1.0)
+    fp_tol = jnp.maximum(jnp.asarray(fp_tol, qq.dtype), 32.0 * eps * q_mag)
+
+    def cond(carry):
+        it, qt, done, conv, old_err, nev = carry
+        return (it < max_fp_iter) & jnp.any(~done)
+
+    def body(carry):
+        it, qt, done, conv, old_err, nev = carry
+        mid = 0.5 * (qt + qq)
+        if newton:
+            hess = target.hessian_batched(mid)
+            gmp = target.logp_grad(mid)[1]
+            d = qq.shape[-1]
+            eye = jnp.eye(d, dtype=qt.dtype)
+            hh2 = (0.25 * h * h)[..., None] * (
+                hess if inv_mass is None else inv_mass[:, None] * hess
+            ) - eye
+            resid = base + 0.5 * h * h * (scale * gmp) - qt
+            qt_new = qt - jnp.linalg.solve(hh2, resid[..., None])[..., 0]
+        else:
+            gmp = target.logp_grad(mid)[1]
+            qt_new = base + 0.5 * h * h * (scale * gmp)
+        err = jnp.max(jnp.abs(qt_new - qt), axis=-1)
+        qt = jnp.where(done[:, None], qt, qt_new)
+        newly_conv = ~done & (err < fp_tol)
+        diverged = ~done & (err > 1.1 * old_err)
+        conv = conv | newly_conv
+        old_err = jnp.where(done, old_err, err)
+        nev = nev + (~done).astype(jnp.int32)
+        done = done | newly_conv | diverged
+        return (it + 1, qt, done, conv, old_err, nev)
+
+    init = (jnp.zeros((), jnp.int32), qt0,
+            jnp.zeros(hh.shape, bool), jnp.zeros(hh.shape, bool), big,
+            jnp.zeros(hh.shape, jnp.int32))
+    _, qt, _, conv, _, nev = jax.lax.while_loop(cond, body, init)
+
+    # final midpoint evaluation at the converged qt, then the update
+    # (reference ``adaptiveIntegrators.py:528-540``)
+    mid = 0.5 * (qt + qq)
+    gmp = target.logp_grad(mid)[1]
+    q2 = base + 0.5 * h * h * (scale * gmp)
+    v2 = vv + h * gmp
+    lp2, g2 = target.logp_grad(q2)
+    lp2 = jnp.where(conv, lp2, -jnp.inf)
+    return (PhasePoint(q2, v2, g2, lp2), jnp.zeros_like(hh), conv, nev + 2)
 
 
 STEP_FNS = {
     "leapfrog": leapfrog_step,
     "yoshida": yoshida_step,
     "leapfrog_flow": leapfrog_flow_step,
+    "implicit_midpoint": implicit_midpoint_step,
 }
 
 
@@ -129,9 +212,10 @@ def masked_multistep(
         return jnp.any(k < nsteps)
 
     def body(carry):
-        k, s, h_end, max_dh, max_err, finite = carry
+        k, s, h_end, max_dh, max_err, finite, nev = carry
         active = k < nsteps
-        s_new, err, _ = step_fn(target, s, jnp.where(active, h_micro, 0.0), inv_mass)
+        s_new, err, ok, nev_k = step_fn(
+            target, s, jnp.where(active, h_micro, 0.0), inv_mass)
         h_new = hamiltonian(s_new.lp, s_new.v, inv_mass)
         dh = jnp.abs(h_new - h_end)
         a1 = active[:, None]
@@ -144,8 +228,9 @@ def masked_multistep(
         h_end = jnp.where(active, h_new, h_end)
         max_dh = jnp.where(active, jnp.maximum(max_dh, dh), max_dh)
         max_err = jnp.where(active, jnp.maximum(max_err, err), max_err)
-        finite = jnp.where(active, finite & jnp.isfinite(h_new), finite)
-        return (k + 1, s_out, h_end, max_dh, max_err, finite)
+        finite = jnp.where(active, finite & ok & jnp.isfinite(h_new), finite)
+        nev = nev + jnp.where(active, nev_k, 0)
+        return (k + 1, s_out, h_end, max_dh, max_err, finite, nev)
 
     zeros = jnp.zeros_like(h0_energy)
     init = (
@@ -155,6 +240,8 @@ def masked_multistep(
         zeros,
         zeros,
         jnp.ones(h0_energy.shape, bool),
+        jnp.zeros(h0_energy.shape, jnp.int32),
     )
-    _, s, h_end, max_dh, max_err, finite = jax.lax.while_loop(cond, body, init)
-    return MultistepResult(s, h_end, max_dh, max_err, finite)
+    (_, s, h_end, max_dh, max_err, finite, nev) = jax.lax.while_loop(
+        cond, body, init)
+    return MultistepResult(s, h_end, max_dh, max_err, finite, nev)

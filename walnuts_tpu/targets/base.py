@@ -83,6 +83,17 @@ class Target:
     def hessian(self, q):
         return jax.hessian(self._logp)(q)
 
+    def hessian_batched(self, q):
+        """Batched Hessians: ``[..., D] -> [..., D, D]`` (used by the
+        implicit midpoint integrator's Newton mode; reference Hessian
+        convention ``targetDistr.py:53-54``)."""
+        q = jnp.asarray(q)
+        if q.ndim == 1:
+            return self.hessian(q)
+        flat = q.reshape(-1, q.shape[-1])
+        out = jax.vmap(jax.hessian(self._logp))(flat)
+        return out.reshape(q.shape[:-1] + out.shape[-2:])
+
     def generated(self, q):
         if self._generated is None:
             return q
