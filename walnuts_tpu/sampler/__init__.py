@@ -8,8 +8,22 @@ from .driver import (
     run_walnuts,
     masked_quantile,
 )
+from .kernels import IsokineticKernel, HMCKernel
+from .generic_nuts import (
+    generic_nuts_transition,
+    run_generic_nuts,
+    DIAG_COLS as GENERIC_DIAG_COLS,
+)
+from .multinomial import MultinomialConfig, run_multinomial
 
 __all__ = [
+    "IsokineticKernel",
+    "HMCKernel",
+    "generic_nuts_transition",
+    "run_generic_nuts",
+    "GENERIC_DIAG_COLS",
+    "MultinomialConfig",
+    "run_multinomial",
     "build_schedule",
     "subtree_checks",
     "OrbitSchedule",
