@@ -15,6 +15,13 @@ from .generic_nuts import (
     DIAG_COLS as GENERIC_DIAG_COLS,
 )
 from .multinomial import MultinomialConfig, run_multinomial
+from .pseudocode import (
+    walnuts_step_pseudo,
+    walnuts_pseudo,
+    stable_steps,
+    choose_micro_steps,
+    micro_steps_logp,
+)
 
 __all__ = [
     "IsokineticKernel",
@@ -24,6 +31,11 @@ __all__ = [
     "GENERIC_DIAG_COLS",
     "MultinomialConfig",
     "run_multinomial",
+    "walnuts_step_pseudo",
+    "walnuts_pseudo",
+    "stable_steps",
+    "choose_micro_steps",
+    "micro_steps_logp",
     "build_schedule",
     "subtree_checks",
     "OrbitSchedule",
