@@ -30,7 +30,20 @@ from .transition import WalnutsConfig, walnuts_transition
 
 
 class WarmupConfig(NamedTuple):
-    """Static warmup configuration (defaults of ``WALNUTS.py:115-127``)."""
+    """Static warmup configuration (defaults of ``WALNUTS.py:115-127``).
+
+    ``pooled=True`` enables the cross-chain consensus mode the
+    reference never had (it adapts one chain at a time): the
+    delta-quantile and the P2 step-size statistic are averaged over
+    the whole chain batch each iteration, so every chain shares one
+    ``(H, delta)``.  On a chain-sharded mesh the pooling reductions
+    lower to XLA collectives over ICI (SURVEY §5 'distributed
+    communication backend').  Pooled mode converges in far fewer
+    warmup iterations (C chains give C samples of the adaptation
+    statistics per iteration) and keeps the batch's work profile
+    homogeneous — important on TPU where a batch pays the max orbit
+    depth over chains.
+    """
 
     warmup_iter: int = 1000
     adapt_h: bool = True
@@ -38,6 +51,7 @@ class WarmupConfig(NamedTuple):
     adapt_delta: bool = True
     adapt_delta_target: float = 0.6
     adapt_delta_quantile: float = 0.9
+    pooled: bool = False
 
 
 class SamplerState(NamedTuple):
@@ -110,6 +124,10 @@ def sampler_step(key, state: SamplerState, *, target, cfg: WalnutsConfig,
             jnp.where(in_warmup, fac, err_facs[:, col])
         )
         quant = masked_quantile(err_facs, it, warmup.adapt_delta_quantile)
+        if warmup.pooled:
+            # consensus: every chain adopts the batch-mean quantile
+            # (a psum/C on a sharded batch)
+            quant = jnp.broadcast_to(jnp.mean(quant), quant.shape)
         delta = jnp.where(
             in_warmup & (it > 10),
             warmup.adapt_delta_target / quant,
@@ -118,7 +136,10 @@ def sampler_step(key, state: SamplerState, *, target, cfg: WalnutsConfig,
 
     h = state.h
     if warmup.adapt_h:
-        h_new = delta ** (1.0 / 3.0) * jnp.exp(p2_quantile(res.p2))
+        log_c = p2_quantile(res.p2)
+        if warmup.pooled:
+            log_c = jnp.broadcast_to(jnp.mean(log_c), log_c.shape)
+        h_new = delta ** (1.0 / 3.0) * jnp.exp(log_c)
         h = jnp.where(in_warmup & (res.p2.npush > 10), h_new, h)
 
     new_state = SamplerState(
