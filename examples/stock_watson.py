@@ -1,0 +1,103 @@
+"""Stock-Watson stochastic-volatility model: WALNUTS vs NUTS posterior
+quantile bands on real OECD inflation data.
+
+Regenerates ``WALNUTSpy_examples/StockWatson/mainSW.py:41-84`` /
+``plotsSW.py:60-141`` with the BridgeStan FFI replaced by the native
+JAX model (``walnuts_tpu.targets.stock_watson``): runs WALNUTS-D
+(``M=14, H0=0.1, delta0=0.3, minC=3``), WALNUTS-R2P, and NUTS
+(``H0=0.002``), then compares posterior quantile bands of the
+constrained quantities (sigma, z, x, tau) across samplers.
+
+Usage: python examples/stock_watson.py [--chains 64] [--iters 1500]
+"""
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--chains", type=int, default=64)
+    ap.add_argument("--iters", type=int, default=1500)
+    ap.add_argument("--warmup", type=int, default=500)
+    ap.add_argument("--m", type=int, default=12)
+    ap.add_argument("--out", default="examples/out_stock_watson.json")
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    import walnuts_tpu as wt
+    from walnuts_tpu.diagnostics import split_rhat
+
+    t = wt.targets.stock_watson()
+    T = 252
+    q0 = 0.1 * jax.random.normal(jax.random.PRNGKey(0),
+                                 (args.chains, t.dim), jnp.float32)
+
+    runs = {}
+    configs = [
+        ("walnuts_d", "adapt_leapfrog_d", 0.1, dict(min_c=3)),
+        ("walnuts_r2p", "adapt_leapfrog_r2p", 0.1, dict(min_c=3)),
+        ("nuts", "fixed_leapfrog", 0.002, dict()),
+    ]
+    for tag, integ, h0, igr_kw in configs:
+        cfg = wt.WalnutsConfig(
+            m=args.m, integrator=integ,
+            igr=wt.IntegratorConfig(**igr_kw))
+        adapt = integ != "fixed_leapfrog"
+        wu = wt.WarmupConfig(warmup_iter=args.warmup, adapt_h=adapt,
+                             adapt_delta=adapt)
+        samples, diags, state = wt.run_walnuts(
+            jax.random.PRNGKey(hash(tag) % 2**31), q0, target=t, cfg=cfg,
+            warmup=wu, num_iter=args.iters, h0=h0, delta0=0.3)
+        gen = np.asarray(samples, np.float64)[args.warmup + 1:]
+        dg = np.asarray(diags)[args.warmup:]
+        # constrained layout: [sigma, z (T-1), x (T), tau (T)]
+        bands = {}
+        for name, sl in [("sigma", slice(0, 1)),
+                         ("z", slice(1, T)),
+                         ("x", slice(T, 2 * T)),
+                         ("tau", slice(2 * T, 3 * T))]:
+            block = gen[:, :, sl].reshape(-1, sl.stop - sl.start)
+            bands[name] = {
+                "q10": np.quantile(block, 0.10, axis=0).mean(),
+                "q50": np.quantile(block, 0.50, axis=0).mean(),
+                "q90": np.quantile(block, 0.90, axis=0).mean(),
+            }
+        rh = np.asarray(split_rhat(jnp.asarray(gen[:, :, ::100])))
+        runs[tag] = {
+            "bands": bands,
+            "grad_evals": float(dg[..., 6].sum() + dg[..., 7].sum()),
+            "max_split_rhat_subsampled": float(np.max(rh)),
+            "H_final_median": float(np.median(np.asarray(state.h))),
+        }
+        print(json.dumps({tag: runs[tag]["bands"]["tau"],
+                          "grad_evals": runs[tag]["grad_evals"]}, default=float))
+
+    # acceptance: quantile bands agree across samplers (plotsSW.py)
+    def band_gap(a, b):
+        return max(abs(runs[a]["bands"][k][q] - runs[b]["bands"][k][q])
+                   for k in ("sigma", "z", "x", "tau")
+                   for q in ("q10", "q50", "q90"))
+
+    res = {
+        "runs": runs,
+        "band_gap_walnutsD_vs_r2p": band_gap("walnuts_d", "walnuts_r2p"),
+        "band_gap_walnutsD_vs_nuts": band_gap("walnuts_d", "nuts"),
+    }
+    print(json.dumps({k: v for k, v in res.items() if k != "runs"},
+                     default=float))
+    with open(args.out, "w") as f:
+        json.dump(res, f, indent=1, default=float)
+
+
+if __name__ == "__main__":
+    main()
