@@ -164,6 +164,7 @@ def run_walnuts(
     delta0: float = 0.05,
     inv_mass=None,
     collect_orbit_stats: bool = False,
+    resume_state: SamplerState = None,
 ):
     """Run ``num_iter`` WALNUTS iterations over a ``[C, D]`` chain batch.
 
@@ -171,8 +172,17 @@ def run_walnuts(
     ``[num_iter + 1, C, dg]`` (row 0 = initial positions, matching the
     reference layout ``WALNUTS.py:163-164``) and ``diagnostics`` is
     ``[num_iter, C, 24]``.
+
+    ``resume_state``: continue exactly from a previous run's returned
+    (or checkpointed, ``utils.checkpoint``) state — ``q0``, ``h0`` and
+    ``delta0`` are ignored, and the iteration counter carries on so a
+    split warmup behaves like one uninterrupted run.
     """
-    state = init_state(target, q0, h0, delta0, warmup)
+    if resume_state is not None:
+        state = resume_state
+        q0 = resume_state.q
+    else:
+        state = init_state(target, q0, h0, delta0, warmup)
 
     def step(st, i):
         k = jax.random.fold_in(key, i)

@@ -121,27 +121,49 @@ def stable_steps(target, q, rho, inv_mass, macro_step, max_error,
     return success, ell, nev
 
 
-def choose_micro_steps(key, ell_stable):
-    """``ell ~ U{ell/2, ell, 2 ell}`` floored at 1
-    (``walnuts.py:185-196`` with the zero-step fix)."""
-    r = jax.random.randint(key, ell_stable.shape, 0, 3)
-    ell = jnp.where(r == 0, jnp.maximum(ell_stable // 2, 1),
-                    jnp.where(r == 1, ell_stable, 2 * ell_stable))
-    return ell
+def choose_micro_steps(key, ell_stable, policy: str = "uniform_3"):
+    """Draw the simulated micro-step count around ``ell_stable``.
+
+    The reference repo contains three mutually inconsistent
+    randomisation schemes (SURVEY §7.4); here they are a named policy:
+
+    * ``"uniform_3"`` — ``ell ~ U{ell/2, ell, 2 ell}`` floored at 1
+      (``walnuts/walnuts.py:185-196`` with the zero-step fix);
+    * ``"shifted_23"`` — the MATLAB line's scheme
+      (``walnuts_imc/p_micro.m:1-6``): exponent ``+0`` w.p. 2/3,
+      ``+1`` w.p. 1/3, i.e. ``{ell, 2 ell}`` at ``(2/3, 1/3)``.
+      (The third scheme, ``geometric_2``, is the R2P integrator's
+      exponent-space version, ``adaptiveIntegrators.py:392-424``.)
+    """
+    if policy == "uniform_3":
+        r = jax.random.randint(key, ell_stable.shape, 0, 3)
+        return jnp.where(r == 0, jnp.maximum(ell_stable // 2, 1),
+                         jnp.where(r == 1, ell_stable, 2 * ell_stable))
+    if policy == "shifted_23":
+        coarse = jax.random.uniform(key, ell_stable.shape) < 2.0 / 3.0
+        return jnp.where(coarse, ell_stable, 2 * ell_stable)
+    raise ValueError(f"unknown micro-step policy {policy!r}")
 
 
-def micro_steps_logp(ell, ell_stable):
-    """log pmf of the (floored) uniform-3 proposal
-    (``walnuts.py:199-208``): with ``ell_stable == 1`` the support
-    collapses to ``{1, 2}`` with probabilities ``{2/3, 1/3}``."""
+def micro_steps_logp(ell, ell_stable, policy: str = "uniform_3"):
+    """log pmf matching :func:`choose_micro_steps`
+    (``walnuts.py:199-208``; ``pmf_p_micro.m:1-7``)."""
     dtype = jnp.result_type(float)
-    lo = jnp.maximum(ell_stable // 2, 1)
-    in_support = (ell == lo) | (ell == ell_stable) | (ell == 2 * ell_stable)
-    collapsed = lo == ell_stable  # ell_stable == 1
-    p = jnp.where(
-        collapsed & (ell == ell_stable), jnp.log(2.0 / 3.0),
-        -_LOG3).astype(dtype)
-    return jnp.where(in_support, p, -jnp.inf)
+    if policy == "uniform_3":
+        lo = jnp.maximum(ell_stable // 2, 1)
+        in_support = ((ell == lo) | (ell == ell_stable)
+                      | (ell == 2 * ell_stable))
+        collapsed = lo == ell_stable  # ell_stable == 1
+        p = jnp.where(
+            collapsed & (ell == ell_stable), jnp.log(2.0 / 3.0),
+            -_LOG3).astype(dtype)
+        return jnp.where(in_support, p, -jnp.inf)
+    if policy == "shifted_23":
+        p = jnp.where(ell == ell_stable, jnp.log(2.0 / 3.0),
+                      jnp.log(1.0 / 3.0)).astype(dtype)
+        in_support = (ell == ell_stable) | (ell == 2 * ell_stable)
+        return jnp.where(in_support, p, -jnp.inf)
+    raise ValueError(f"unknown micro-step policy {policy!r}")
 
 
 def _masked_leapfrog(target, q, rho, g, lp, h_micro, nsteps, inv_mass):
@@ -169,9 +191,11 @@ def _masked_leapfrog(target, q, rho, g, lp, h_micro, nsteps, inv_mass):
     return s, nev
 
 
-@partial(jax.jit, static_argnames=("target", "max_depth", "max_n"))
+@partial(jax.jit, static_argnames=("target", "max_depth", "max_n",
+                                   "micro_policy"))
 def walnuts_step_pseudo(key, q, *, target, inv_mass, macro_step,
-                        max_depth: int = 10, max_error=0.1, max_n: int = 10):
+                        max_depth: int = 10, max_error=0.1, max_n: int = 10,
+                        micro_policy: str = "uniform_3"):
     """One paper-mode WALNUTS transition for a ``[C, D]`` batch
     (``walnuts_step``, ``walnuts.py:279-359``)."""
     C, D = q.shape
@@ -218,7 +242,7 @@ def walnuts_step_pseudo(key, q, *, target, inv_mass, macro_step,
             h_here = hamiltonian(ll, rr, inv_mass)
             _, ell_st, nev1 = stable_steps(
                 target, qq, rr, inv_mass, macro, max_err, active, max_n)
-            ell = choose_micro_steps(k_ell, ell_st)
+            ell = choose_micro_steps(k_ell, ell_st, micro_policy)
             ell_run = jnp.where(active, ell, 0)
             s, nev2 = _masked_leapfrog(
                 target, qq, rr, gg, ll,
@@ -229,8 +253,8 @@ def walnuts_step_pseudo(key, q, *, target, inv_mass, macro_step,
             ww = ww + jnp.where(
                 active,
                 (-h_next) - (-h_here)
-                + micro_steps_logp(ell, ell_st_next)
-                - micro_steps_logp(ell, ell_st),
+                + micro_steps_logp(ell, ell_st_next, micro_policy)
+                - micro_steps_logp(ell, ell_st, micro_policy),
                 0.0)
             # non-finite Hamiltonians poison the weight, not the carry
             ww = jnp.where(jnp.isnan(ww), -jnp.inf, ww)
@@ -306,11 +330,12 @@ def walnuts_step_pseudo(key, q, *, target, inv_mass, macro_step,
 
 
 @partial(jax.jit, static_argnames=("target", "max_depth", "max_n",
-                                   "iter_warmup", "iter_sample"))
+                                   "iter_warmup", "iter_sample",
+                                   "micro_policy"))
 def walnuts_pseudo(key, theta_init, *, target, inv_mass, macro_step,
                    max_depth: int = 10, max_error=0.1,
                    iter_warmup: int = 0, iter_sample: int = 1000,
-                   max_n: int = 10):
+                   max_n: int = 10, micro_policy: str = "uniform_3"):
     """Chain driver (``walnuts()``, ``walnuts.py:362-408``): no
     adaptation; returns ``draws [iter_sample, C, D]``."""
     q = jnp.asarray(theta_init)
@@ -319,7 +344,8 @@ def walnuts_pseudo(key, theta_init, *, target, inv_mass, macro_step,
         k = jax.random.fold_in(key, i)
         res = walnuts_step_pseudo(
             k, qq, target=target, inv_mass=inv_mass, macro_step=macro_step,
-            max_depth=max_depth, max_error=max_error, max_n=max_n)
+            max_depth=max_depth, max_error=max_error, max_n=max_n,
+            micro_policy=micro_policy)
         return res.q, res.q
 
     q, draws = jax.lax.scan(step, q, jnp.arange(iter_warmup + iter_sample))
