@@ -23,12 +23,12 @@ import time
 import numpy as np
 
 
-CHAINS = 2048
+CHAINS = 16384
 DIM = 101
 M = 8
 H0 = 0.3
 DELTA0 = 0.3
-WARMUP = 200
+WARMUP = 150
 ITERS = 400
 
 
@@ -104,7 +104,9 @@ def main():
 
     target = wt.targets.funnel(DIM)
     cfg = wt.WalnutsConfig(m=M)
-    wu = wt.WarmupConfig(warmup_iter=WARMUP)
+    # pooled consensus warmup: homogeneous (H, delta) across the batch
+    # keeps the masked search depths dense on TPU
+    wu = wt.WarmupConfig(warmup_iter=WARMUP, pooled=True)
 
     key = jax.random.PRNGKey(0)
     q0 = 0.3 * jax.random.normal(key, (CHAINS, DIM), jnp.float32)
@@ -114,37 +116,48 @@ def main():
             key, q0, target=target, cfg=cfg, warmup=wu,
             num_iter=n_iter, h0=H0, delta0=DELTA0)
 
-    # compile + warmup phase (not timed)
+    # compile + warmup phase (not timed); pooled consensus adaptation
     samples_w, diags_w, state = run(jax.random.PRNGKey(1), q0, WARMUP)
     jax.block_until_ready(samples_w)
 
-    # timed sampling phase, warm start from adapted state
+    # timed sampling phase: the streaming (continuous-batching) engine
+    # with fixed tuning from warmup — chains never idle at transition
+    # barriers
+    from walnuts_tpu.sampler.streaming import run_walnuts_streaming
+
     cfg2 = wt.WalnutsConfig(m=M)
-    wu2 = wt.WarmupConfig(warmup_iter=0, adapt_h=False, adapt_delta=False)
-    h0v = float(jnp.median(state.h))
-    d0v = float(jnp.median(state.delta))
     q1 = state.q
+    CHUNK = 50  # keep the carried output buffers small
 
     # compile the timed configuration once before timing
-    s_c, d_c, _ = wt.run_walnuts(
-        jax.random.PRNGKey(2), q1, target=target, cfg=cfg2, warmup=wu2,
-        num_iter=1, h0=h0v, delta0=d0v)
+    s_c, d_c, q1 = run_walnuts_streaming(
+        jax.random.PRNGKey(2), q1, state.h, state.delta,
+        target=target, cfg=cfg2, num_iter=CHUNK)
     jax.block_until_ready(s_c)
 
     t0 = time.perf_counter()
-    samples, diags, _ = wt.run_walnuts(
-        jax.random.PRNGKey(3), q1, target=target, cfg=cfg2, warmup=wu2,
-        num_iter=ITERS, h0=h0v, delta0=d0v)
-    samples = jax.block_until_ready(samples)
+    samples = []
+    diags = []
+    for i in range(ITERS // CHUNK):
+        s_i, d_i, q1 = run_walnuts_streaming(
+            jax.random.fold_in(jax.random.PRNGKey(3), i), q1,
+            state.h, state.delta, target=target, cfg=cfg2,
+            num_iter=CHUNK)
+        samples.append(s_i)
+        diags.append(d_i)
+    samples = jax.block_until_ready(jnp.concatenate(samples, axis=0))
     dt = time.perf_counter() - t0
 
-    diags = np.asarray(diags)
+    diags = np.asarray(jnp.concatenate(diags, axis=0))
     n_grad = float(diags[..., 6].sum() + diags[..., 7].sum())
     grad_per_s = n_grad / dt
 
-    # min-ESS/s over coordinates ([N, C, D] -> per-coordinate ESS)
-    draws = np.asarray(samples[1:], np.float64)
-    ess_vals = np.asarray(ess(jnp.asarray(draws)))
+    # min-ESS/s over coordinates ([N, C, D] -> per-coordinate ESS),
+    # estimated on a 2048-chain subset and scaled (ESS is additive over
+    # independent chains)
+    draws = np.asarray(samples, np.float64)
+    ess_vals = np.asarray(ess(jnp.asarray(draws[:, :2048]))) \
+        * (CHAINS / 2048.0)
     min_ess_per_s = float(ess_vals.min() / dt)
 
     # posterior sanity: omega ~ N(0, 9)

@@ -79,7 +79,8 @@ def main():
                "theory_slope": -0.25}
     print(json.dumps(summary, default=float))
     with open(args.out, "w") as f:
-        json.dump({"rows": results, "summary": summary}, f, indent=1)
+        json.dump({"rows": results, "summary": summary}, f, indent=1,
+                  default=float)
 
 
 if __name__ == "__main__":

@@ -189,7 +189,15 @@ def walnuts_transition(
     dtype = q.dtype
     m = cfg.m
     sched = build_schedule(m)
-    integrator = get_integrator(cfg.integrator)
+    if cfg.integrator.startswith("pallas_"):
+        # fused-kernel integrators close over the target's analytic
+        # gradient (ops/pallas_integrators.py)
+        from ..ops.pallas_integrators import make_pallas_integrator
+
+        integrator = make_pallas_integrator(
+            target, mode=cfg.integrator.removeprefix("pallas_"))
+    else:
+        integrator = get_integrator(cfg.integrator)
     im = inv_mass if cfg.use_inv_mass else None
 
     k_mom, k_dirs, k_orbit = jax.random.split(key, 3)
@@ -311,7 +319,14 @@ def walnuts_transition(
             max_b_int=jnp.where(ab, abs_id, c.max_b_int),
             time_f=c.time_f + jnp.where(af, hloc, 0.0),
             time_b=c.time_b + jnp.where(ab, hloc, 0.0),
-            p2=p2_push(c.p2, jnp.log(res.igr_const), mask=active & warmup),
+            # the P2 marker update is ~80 small ops; skip the whole
+            # computation outside warmup (scalar-pred cond)
+            p2=jax.lax.cond(
+                warmup,
+                lambda p2: p2_push(p2, jnp.log(res.igr_const),
+                                   mask=active & warmup),
+                lambda p2: p2,
+                c.p2),
         )
 
         # weight bookkeeping; reference accumulates only finite states
@@ -432,20 +447,27 @@ def walnuts_transition(
         depth_done = c.depth_done | (chk & adj_ut)
 
         # ---- merge checks against slab checkpoints (WALNUTS.py:572-587)
+        # most steps have no valid merge check; the scalar-pred cond
+        # skips the [C, D] gathers and dot products entirely then
         for kk in range(sched.max_post):
             pv = tab["post_valid"][t, kk]
             slo = tab["post_slot_lo"][t, kk]
             shi = tab["post_slot_hi"][t, kk]
-            q_lo = c.slab_q[:, slo, :]
-            v_lo = c.slab_v[:, slo, :]
-            q_hi = c.slab_q[:, shi, :]
-            v_hi = c.slab_v[:, shi, :]
-            meq = jnp.where(fwd[:, None], q_lo, q_hi)
-            mev = jnp.where(fwd[:, None], v_lo, v_hi)
-            mlq = jnp.where(fwd[:, None], q_hi, q_lo)
-            mlv = jnp.where(fwd[:, None], v_hi, v_lo)
-            m_ut = uturn(meq, mev, mlq, mlv, im)
-            depth_done = depth_done | (pv & ok2 & m_ut)
+
+            def _merge_check(dd, slo=slo, shi=shi):
+                q_lo = c.slab_q[:, slo, :]
+                v_lo = c.slab_v[:, slo, :]
+                q_hi = c.slab_q[:, shi, :]
+                v_hi = c.slab_v[:, shi, :]
+                meq = jnp.where(fwd[:, None], q_lo, q_hi)
+                mev = jnp.where(fwd[:, None], v_lo, v_hi)
+                mlq = jnp.where(fwd[:, None], q_hi, q_lo)
+                mlv = jnp.where(fwd[:, None], v_hi, v_lo)
+                m_ut = uturn(meq, mev, mlq, mlv, im)
+                return dd | (ok2 & m_ut)
+
+            depth_done = jax.lax.cond(
+                pv, _merge_check, lambda dd: dd, depth_done)
 
         # ---- numerical problems: forced rejection, stop code 999 ----
         c = c._replace(
