@@ -23,13 +23,13 @@ import time
 import numpy as np
 
 
-CHAINS = 16384
+CHAINS = 8192
 DIM = 101
 M = 8
 H0 = 0.3
 DELTA0 = 0.3
-WARMUP = 150
-ITERS = 400
+WARMUP = 100
+ITERS = 300
 
 
 # ----------------------------------------------------------------------

@@ -1,0 +1,69 @@
+"""Megakernel (fully-flattened) driver tests: statistical equivalence
+with the synchronised scan driver."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+import walnuts_tpu as wt
+from walnuts_tpu.sampler.megakernel import run_walnuts_fused
+
+
+def test_fused_gauss_moments_and_distributions():
+    t = wt.targets.std_gauss(10)
+    C = 128
+    q0 = jax.random.normal(jax.random.PRNGKey(1), (C, 10), jnp.float64)
+    h = jnp.full((C,), 0.5, jnp.float64)
+    dl = jnp.full((C,), 0.1, jnp.float64)
+    s, d, qf = run_walnuts_fused(
+        jax.random.PRNGKey(11), q0, h, dl, target=t,
+        cfg=wt.WalnutsConfig(m=6), num_iter=400)
+    x = np.asarray(s)[100:]
+    n_eff = x.shape[0] * x.shape[1] / 8
+    assert abs(x.mean()) < 5 / np.sqrt(n_eff)
+    assert abs(x.std() - 1.0) < 5 * np.sqrt(0.5 / n_eff)
+
+    wu = wt.WarmupConfig(warmup_iter=0, adapt_h=False, adapt_delta=False)
+    s2, d2, _ = wt.run_walnuts(
+        jax.random.PRNGKey(11), q0, target=t, cfg=wt.WalnutsConfig(m=6),
+        warmup=wu, num_iter=400, h0=0.5, delta0=0.1)
+    d, d2 = np.asarray(d), np.asarray(d2)
+    # orbit geometry must match the reference-parity-tested scan driver
+    for col in (1, 20, 9, 8, 21, 22):
+        assert abs(d[..., col].mean() - d2[..., col].mean()) < 0.1, col
+    assert abs((d[..., 19] == 4).mean() - (d2[..., 19] == 4).mean()) < 0.05
+    assert abs((d[..., 19] == 5).mean() - (d2[..., 19] == 5).mean()) < 0.02
+    assert abs(d[..., 6].mean() - d2[..., 6].mean()) < 1.0  # grad counts
+
+
+def test_fused_funnel_omega():
+    t = wt.targets.funnel(11)
+    C = 128
+    q0 = 0.1 * jax.random.normal(jax.random.PRNGKey(0), (C, 11),
+                                 jnp.float64)
+    h = jnp.full((C,), 0.32, jnp.float64)
+    dl = jnp.full((C,), 0.34, jnp.float64)
+    s, d, qf = run_walnuts_fused(
+        jax.random.PRNGKey(5), q0, h, dl, target=t,
+        cfg=wt.WalnutsConfig(m=7), num_iter=600)
+    w = np.asarray(s)[150:, :, 0].ravel()
+    n_eff = len(w) / 50
+    assert abs(w.mean()) < 5 * 3 / np.sqrt(n_eff), w.mean()
+    assert abs(w.std() - 3.0) < 5 * 3 * np.sqrt(0.5 / n_eff), w.std()
+
+
+def test_fused_chunked_resume():
+    t = wt.targets.std_gauss(4)
+    C = 32
+    q0 = jax.random.normal(jax.random.PRNGKey(0), (C, 4), jnp.float64)
+    h = jnp.full((C,), 0.5, jnp.float64)
+    dl = jnp.full((C,), 0.1, jnp.float64)
+    s1, d1, qf = run_walnuts_fused(
+        jax.random.PRNGKey(1), q0, h, dl, target=t,
+        cfg=wt.WalnutsConfig(m=5), num_iter=50)
+    s2, d2, qf2 = run_walnuts_fused(
+        jax.random.PRNGKey(2), qf, h, dl, target=t,
+        cfg=wt.WalnutsConfig(m=5), num_iter=50)
+    assert s1.shape == (50, C, 4)
+    np.testing.assert_array_equal(np.asarray(qf), np.asarray(s1)[-1])
+    assert np.all(np.isfinite(np.asarray(s2)))

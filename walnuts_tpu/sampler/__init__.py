@@ -15,6 +15,8 @@ from .generic_nuts import (
     DIAG_COLS as GENERIC_DIAG_COLS,
 )
 from .multinomial import MultinomialConfig, run_multinomial
+from .streaming import run_walnuts_streaming
+from .megakernel import run_walnuts_fused
 from .pseudocode import (
     walnuts_step_pseudo,
     walnuts_pseudo,
@@ -31,6 +33,8 @@ __all__ = [
     "GENERIC_DIAG_COLS",
     "MultinomialConfig",
     "run_multinomial",
+    "run_walnuts_streaming",
+    "run_walnuts_fused",
     "walnuts_step_pseudo",
     "walnuts_pseudo",
     "stable_steps",

@@ -125,9 +125,10 @@ def sampler_step(key, state: SamplerState, *, target, cfg: WalnutsConfig,
         )
         quant = masked_quantile(err_facs, it, warmup.adapt_delta_quantile)
         if warmup.pooled:
-            # consensus: every chain adopts the batch-mean quantile
-            # (a psum/C on a sharded batch)
-            quant = jnp.broadcast_to(jnp.mean(quant), quant.shape)
+            # consensus: every chain adopts the batch-median quantile
+            # (mean is dragged by the heavy tail of hard chains and
+            # over-shrinks the tuning for the whole batch)
+            quant = jnp.broadcast_to(jnp.median(quant), quant.shape)
         delta = jnp.where(
             in_warmup & (it > 10),
             warmup.adapt_delta_target / quant,
@@ -138,7 +139,7 @@ def sampler_step(key, state: SamplerState, *, target, cfg: WalnutsConfig,
     if warmup.adapt_h:
         log_c = p2_quantile(res.p2)
         if warmup.pooled:
-            log_c = jnp.broadcast_to(jnp.mean(log_c), log_c.shape)
+            log_c = jnp.broadcast_to(jnp.median(log_c), log_c.shape)
         h_new = delta ** (1.0 / 3.0) * jnp.exp(log_c)
         h = jnp.where(in_warmup & (res.p2.npush > 10), h_new, h)
 

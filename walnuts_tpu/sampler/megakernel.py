@@ -1,0 +1,764 @@
+"""Fully-flattened WALNUTS driver: one batched leapfrog micro step per
+loop round for every chain ("megakernel" execution model).
+
+Why: profiling the streaming driver at warmup-adapted funnel tuning
+shows each *pair round* costs ~100-150 batched micro-step iterations
+(the halving search runs every level-c trial for the whole batch while
+a shrinking fraction of chains is active) but delivers only ~3 useful
+gradient evaluations per chain — ~2% utilisation.  Here the third and
+final level of control flow is flattened: per chain, a small state
+machine tracks (phase, refinement level, micro-step index) of its
+current integrator trial, and the single persistent loop advances
+EVERY chain by exactly one micro leapfrog step each round.  A chain
+that finishes a trial immediately starts its next one; a chain that
+finishes a macro step runs the orbit bookkeeping in the same round and
+starts the next macro step on the next round.  No chain ever waits for
+another's refinement search, orbit depth, or transition boundary.
+
+Phases of the per-chain integrator state machine (R2P protocol,
+``adaptiveIntegrators.py:361-475``):
+
+* ``FWD`` — forward halving trial at level ``c``: on completion test
+  ``|H_end - H_0| < delta``; accept -> record ``If`` and either keep
+  the trial (coarse draw, prob 2/3) and go ``BWD``, or reset for one
+  refined trial at ``If + 1`` (``R2P`` phase); reject -> retry at
+  ``c + 1`` (at ``max_c`` the trial is kept regardless).
+* ``R2P`` — the refined two-point trial; its endpoint is always taken.
+* ``BWD`` — backward halving trials from the flipped endpoint to find
+  ``Ib``; on resolution the macro step completes with the Hastings
+  weight ``log p(c_sim | Ib) - log p(c_sim | If)``.
+
+Orbit-level semantics (selection, sub-U-turn plans, stop codes,
+diagnostics) are identical to :mod:`.streaming` / :mod:`.transition`;
+statistical equivalence is tested.  Tuning is fixed (warm up with the
+scan driver first).  Randomness is keyed by the global round counter
+(same deviation as the streaming driver).
+"""
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.hamiltonian import hamiltonian, refresh_momentum, uturn
+from ..utils.constants import LOG_ZERO, WT_SUM_THRESH
+from .plans import build_schedule
+from .transition import WalnutsConfig
+
+_BIG_I32 = jnp.int32(2**30)
+FWD, R2P, BWD = 0, 1, 2
+
+
+class _MState(NamedTuple):
+    n: jnp.ndarray
+    t: jnp.ndarray
+    it: jnp.ndarray
+    # ---- integrator state machine ----
+    phase: jnp.ndarray        # [C] FWD/R2P/BWD
+    c_cur: jnp.ndarray        # [C] current trial level
+    k: jnp.ndarray            # [C] micro step within trial
+    second: jnp.ndarray       # [C] bool: integrating pair's 2nd state
+    h_loc: jnp.ndarray        # [C] jittered macro step length
+    coarse: jnp.ndarray       # [C] bool R2P coarse draw
+    i_f: jnp.ndarray          # [C]
+    # macro-step start state (trial restart point)
+    qs: jnp.ndarray
+    vs: jnp.ndarray
+    gs: jnp.ndarray
+    lps: jnp.ndarray
+    h0s: jnp.ndarray
+    # live trial state
+    qt: jnp.ndarray
+    vt: jnp.ndarray
+    gt: jnp.ndarray
+    lpt: jnp.ndarray
+    ht: jnp.ndarray
+    dht: jnp.ndarray          # running max |dH| of trial
+    fint: jnp.ndarray         # [C] trial finite flag (f32 mask)
+    # accepted forward state (the macro step's endpoint candidate)
+    qa: jnp.ndarray
+    va: jnp.ndarray
+    ga: jnp.ndarray
+    lpa: jnp.ndarray
+    ha: jnp.ndarray
+    dha: jnp.ndarray
+    c_sim: jnp.ndarray
+    nev_f: jnp.ndarray        # evals this macro step (fwd+fine)
+    nev_b: jnp.ndarray
+    # previous pair member (for the adjacent U-turn check)
+    q1: jnp.ndarray
+    v1: jnp.ndarray
+    # ---- orbit state (as in streaming) ----
+    qp: jnp.ndarray
+    vp: jnp.ndarray
+    gp: jnp.ndarray
+    lpp: jnp.ndarray
+    hp: jnp.ndarray
+    qm: jnp.ndarray
+    vm: jnp.ndarray
+    gm: jnp.ndarray
+    lpm: jnp.ndarray
+    hm: jnp.ndarray
+    qc: jnp.ndarray
+    lpc: jnp.ndarray
+    gc: jnp.ndarray
+    q_prop: jnp.ndarray
+    lp_prop: jnp.ndarray
+    g_prop: jnp.ndarray
+    q_prop_last: jnp.ndarray
+    lp_prop_last: jnp.ndarray
+    g_prop_last: jnp.ndarray
+    mscale: jnp.ndarray
+    lwt_sum_f: jnp.ndarray
+    lwt_sum_b: jnp.ndarray
+    w_new_sum: jnp.ndarray
+    w_old_sum: jnp.ndarray
+    sel_l: jnp.ndarray
+    sel_l_old: jnp.ndarray
+    idx_time: jnp.ndarray
+    index_stat: jnp.ndarray
+    index_stat_old: jnp.ndarray
+    time_f: jnp.ndarray
+    time_b: jnp.ndarray
+    orbit_len: jnp.ndarray
+    orbit_len_sam: jnp.ndarray
+    a_abs: jnp.ndarray
+    b_abs: jnp.ndarray
+    xi_all: jnp.ndarray
+    depth_done: jnp.ndarray
+    stop_code: jnp.ndarray
+    both_ends_passive: jnp.ndarray
+    n_doubl_sampled: jnp.ndarray
+    n_doubl_computed: jnp.ndarray
+    max_f_int: jnp.ndarray
+    max_b_int: jnp.ndarray
+    neval_f: jnp.ndarray
+    neval_b: jnp.ndarray
+    h_min: jnp.ndarray
+    h_max: jnp.ndarray
+    if_min: jnp.ndarray
+    if_max: jnp.ndarray
+    c_min_d: jnp.ndarray
+    c_max_d: jnp.ndarray
+    lwt_min: jnp.ndarray
+    lwt_max: jnp.ndarray
+    n_states: jnp.ndarray
+    n_if_neq_ib: jnp.ndarray
+    n_if_zero: jnp.ndarray
+    slab_q: jnp.ndarray
+    slab_v: jnp.ndarray
+    samples: jnp.ndarray
+    diags: jnp.ndarray
+
+
+@partial(jax.jit, static_argnames=("target", "cfg", "num_iter"))
+def run_walnuts_fused(key, q0, h_step, delta, *, target,
+                      cfg: WalnutsConfig, num_iter: int):
+    """Stream ``num_iter`` fixed-tuning WALNUTS-R2P transitions per
+    chain with one batched micro step per round.
+
+    Returns ``(samples [num_iter, C, dg], diagnostics
+    [num_iter, C, 24], q_final [C, D])``.
+    """
+    C, D = q0.shape
+    dtype = q0.dtype
+    m = cfg.m
+    min_c = cfg.igr.min_c
+    max_c = cfg.igr.max_c
+    p0 = cfg.igr.r2p_prob0
+    lp_c = jnp.log(jnp.asarray(p0, dtype))
+    lp_f = jnp.log(jnp.asarray(1.0 - p0, dtype))
+    sched = build_schedule(m)
+    T = sched.n_steps
+    S = sched.capacity
+    dg = target.generated_dim
+
+    tab = {
+        name: jnp.asarray(getattr(sched, name))
+        for name in ("depth", "rel1", "rel2", "slot1", "slot2",
+                     "last_of_depth", "is_depth0")
+    }
+    first_of_depth = jnp.asarray(
+        [True] + [bool(sched.depth[i] != sched.depth[i - 1])
+                  for i in range(1, T)])
+    import numpy as _np
+
+    _check = _np.zeros((T, S), bool)
+    for _t in range(T):
+        for _k in range(sched.max_post):
+            if sched.post_valid[_t, _k]:
+                _check[_t, sched.post_slot_lo[_t, _k]] = True
+    check_slots = jnp.asarray(_check)
+    store1_tab = jnp.asarray((sched.rel1 % 4 == 1) & (sched.depth >= 2))
+    _last_idx = _np.zeros(T, _np.int32)
+    for _d in range(m):
+        _rows = _np.where(sched.depth == _d)[0]
+        _last_idx[_rows] = _rows[-1]
+    last_idx_of_depth = jnp.asarray(_last_idx)
+
+    lp0, g0 = target.logp_grad(q0)
+
+    zf = jnp.zeros((C,), dtype)
+    zi = jnp.zeros((C,), jnp.int32)
+    zb = jnp.zeros((C,), bool)
+    ones = jnp.ones((C,), dtype)
+    inf = jnp.asarray(jnp.inf, dtype)
+    thresh = jnp.asarray(WT_SUM_THRESH, dtype)
+    log_zero_edge = LOG_ZERO + 1.0
+
+    st = _MState(
+        n=jnp.zeros((), jnp.int32), t=zi, it=zi,
+        phase=zi, c_cur=jnp.full((C,), min_c, jnp.int32), k=zi,
+        second=zb, h_loc=jnp.full((C,), 1.0, dtype), coarse=zb,
+        i_f=zi,
+        qs=q0, vs=jnp.zeros_like(q0), gs=g0, lps=lp0, h0s=zf,
+        qt=q0, vt=jnp.zeros_like(q0), gt=g0, lpt=lp0, ht=zf,
+        dht=zf, fint=ones,
+        qa=q0, va=jnp.zeros_like(q0), ga=g0, lpa=lp0, ha=zf, dha=zf,
+        c_sim=zi, nev_f=zi, nev_b=zi,
+        q1=q0, v1=jnp.zeros_like(q0),
+        qp=q0, vp=jnp.zeros_like(q0), gp=g0, lpp=lp0, hp=zf,
+        qm=q0, vm=jnp.zeros_like(q0), gm=g0, lpm=lp0, hm=zf,
+        qc=q0, lpc=lp0, gc=g0,
+        q_prop=q0, lp_prop=lp0, g_prop=g0,
+        q_prop_last=q0, lp_prop_last=lp0, g_prop_last=g0,
+        mscale=zf, lwt_sum_f=zf, lwt_sum_b=zf,
+        w_new_sum=zf, w_old_sum=ones,
+        sel_l=zi, sel_l_old=zi,
+        idx_time=zf, index_stat=zf, index_stat_old=zf,
+        time_f=zf, time_b=zf, orbit_len=zf, orbit_len_sam=zf,
+        a_abs=zi, b_abs=zi, xi_all=jnp.ones((C, m), dtype),
+        depth_done=zb, stop_code=zi, both_ends_passive=zb,
+        n_doubl_sampled=zi, n_doubl_computed=zi,
+        max_f_int=zi, max_b_int=zi,
+        neval_f=zi, neval_b=zi,
+        h_min=zf, h_max=zf,
+        if_min=jnp.full((C,), _BIG_I32), if_max=jnp.full((C,), -_BIG_I32),
+        c_min_d=jnp.full((C,), _BIG_I32),
+        c_max_d=jnp.full((C,), -_BIG_I32),
+        lwt_min=jnp.full((C,), inf), lwt_max=jnp.full((C,), -inf),
+        n_states=zi, n_if_neq_ib=zi, n_if_zero=zi,
+        slab_q=jnp.zeros((C, S, D), dtype),
+        slab_v=jnp.zeros((C, S, D), dtype),
+        samples=jnp.zeros((num_iter, C, dg), dtype),
+        diags=jnp.zeros((num_iter, C, 24), dtype),
+    )
+    # start: every chain needs fresh-init; mark by t=0 & a sentinel so
+    # the first round initialises before integrating
+    st = st._replace(k=jnp.full((C,), -1, jnp.int32))
+
+    def cond(st):
+        return jnp.any(st.it < num_iter)
+
+    def body(st):
+        n = st.n
+        live = st.it < num_iter
+        kn = jax.random.fold_in(key, n)
+        (k_h, k_co, k_cat, k_acc, k_mom, k_dirs) = jax.random.split(kn, 6)
+
+        # ------------------------------------------------------------
+        # A. fresh-transition init for chains flagged k == -1 & t == 0
+        # ------------------------------------------------------------
+        fresh = live & (st.k < 0) & (st.t == 0)
+        v0 = refresh_momentum(k_mom, (C, D), None, dtype)
+        h0f = hamiltonian(st.lpc, v0)
+        xi_new = jnp.where(
+            jax.random.bernoulli(k_dirs, 0.5, (C, m)), 1.0, -1.0
+        ).astype(dtype)
+        f1 = fresh[:, None]
+        st = st._replace(
+            qp=jnp.where(f1, st.qc, st.qp), vp=jnp.where(f1, v0, st.vp),
+            gp=jnp.where(f1, st.gc, st.gp),
+            lpp=jnp.where(fresh, st.lpc, st.lpp),
+            hp=jnp.where(fresh, h0f, st.hp),
+            qm=jnp.where(f1, st.qc, st.qm), vm=jnp.where(f1, v0, st.vm),
+            gm=jnp.where(f1, st.gc, st.gm),
+            lpm=jnp.where(fresh, st.lpc, st.lpm),
+            hm=jnp.where(fresh, h0f, st.hm),
+            q_prop=jnp.where(f1, st.qc, st.q_prop),
+            lp_prop=jnp.where(fresh, st.lpc, st.lp_prop),
+            g_prop=jnp.where(f1, st.gc, st.g_prop),
+            q_prop_last=jnp.where(f1, st.qc, st.q_prop_last),
+            lp_prop_last=jnp.where(fresh, st.lpc, st.lp_prop_last),
+            g_prop_last=jnp.where(f1, st.gc, st.g_prop_last),
+            mscale=jnp.where(fresh, h0f, st.mscale),
+            lwt_sum_f=jnp.where(fresh, 0.0, st.lwt_sum_f),
+            lwt_sum_b=jnp.where(fresh, 0.0, st.lwt_sum_b),
+            w_new_sum=jnp.where(fresh, 0.0, st.w_new_sum),
+            w_old_sum=jnp.where(fresh, 1.0, st.w_old_sum),
+            sel_l=jnp.where(fresh, 0, st.sel_l),
+            sel_l_old=jnp.where(fresh, 0, st.sel_l_old),
+            idx_time=jnp.where(fresh, 0.0, st.idx_time),
+            index_stat=jnp.where(fresh, 0.0, st.index_stat),
+            index_stat_old=jnp.where(fresh, 0.0, st.index_stat_old),
+            time_f=jnp.where(fresh, 0.0, st.time_f),
+            time_b=jnp.where(fresh, 0.0, st.time_b),
+            orbit_len=jnp.where(fresh, 0.0, st.orbit_len),
+            orbit_len_sam=jnp.where(fresh, 0.0, st.orbit_len_sam),
+            a_abs=jnp.where(fresh, 0, st.a_abs),
+            b_abs=jnp.where(fresh, 0, st.b_abs),
+            xi_all=jnp.where(f1, xi_new, st.xi_all),
+            depth_done=jnp.where(fresh, False, st.depth_done),
+            stop_code=jnp.where(fresh, 0, st.stop_code),
+            both_ends_passive=jnp.where(fresh, False,
+                                        st.both_ends_passive),
+            n_doubl_sampled=jnp.where(fresh, 0, st.n_doubl_sampled),
+            n_doubl_computed=jnp.where(fresh, 0, st.n_doubl_computed),
+            max_f_int=jnp.where(fresh, 0, st.max_f_int),
+            max_b_int=jnp.where(fresh, 0, st.max_b_int),
+            neval_f=jnp.where(fresh, 0, st.neval_f),
+            neval_b=jnp.where(fresh, 0, st.neval_b),
+            h_min=jnp.where(fresh, h0f, st.h_min),
+            h_max=jnp.where(fresh, h0f, st.h_max),
+            if_min=jnp.where(fresh, _BIG_I32, st.if_min),
+            if_max=jnp.where(fresh, -_BIG_I32, st.if_max),
+            c_min_d=jnp.where(fresh, _BIG_I32, st.c_min_d),
+            c_max_d=jnp.where(fresh, -_BIG_I32, st.c_max_d),
+            lwt_min=jnp.where(fresh, inf, st.lwt_min),
+            lwt_max=jnp.where(fresh, -inf, st.lwt_max),
+            n_states=jnp.where(fresh, 0, st.n_states),
+            n_if_neq_ib=jnp.where(fresh, 0, st.n_if_neq_ib),
+            n_if_zero=jnp.where(fresh, 0, st.n_if_zero),
+            second=jnp.where(fresh, False, st.second),
+        )
+
+        # per-chain schedule row
+        t = st.t
+        depth_t = tab["depth"][t]
+        is_d0 = tab["is_depth0"][t]
+        last = tab["last_of_depth"][t]
+        first = first_of_depth[t]
+        xi = jnp.take_along_axis(st.xi_all, depth_t[:, None], 1)[:, 0]
+        fwd_dir = xi > 0
+
+        # depth-start snapshot (once, on the row's first macro start)
+        snap = (live & first & ~is_d0 & (st.k < 0) & ~st.second
+                & ~st.depth_done)
+        st = st._replace(
+            q_prop_last=jnp.where(snap[:, None], st.q_prop,
+                                  st.q_prop_last),
+            lp_prop_last=jnp.where(snap, st.lp_prop, st.lp_prop_last),
+            g_prop_last=jnp.where(snap[:, None], st.g_prop,
+                                  st.g_prop_last),
+            sel_l_old=jnp.where(snap, st.sel_l, st.sel_l_old),
+            index_stat_old=jnp.where(snap, st.index_stat,
+                                     st.index_stat_old),
+            w_new_sum=jnp.where(snap, 0.0, st.w_new_sum),
+        )
+
+        # ------------------------------------------------------------
+        # B. macro-step start: chains with k < 0 latch a jittered
+        #    step, the coarse draw, and the trial start state
+        # ------------------------------------------------------------
+        idle = st.depth_done  # no integration while the suborbit is dead
+        starting = live & (st.k < 0) & ~idle
+        s_sc = cfg.step_size_rand_scale
+        h_draw = h_step * jax.random.uniform(k_h, (C,), dtype,
+                                             1.0 - s_sc, 1.0 + s_sc)
+        co_draw = jax.random.uniform(k_co, (C,), dtype) < p0
+        # integration starts from the travel-direction endpoint
+        q_e = jnp.where(fwd_dir[:, None], st.qp, st.qm)
+        v_e = jnp.where(fwd_dir[:, None], st.vp, -st.vm)
+        g_e = jnp.where(fwd_dir[:, None], st.gp, st.gm)
+        lp_e = jnp.where(fwd_dir, st.lpp, st.lpm)
+        h_e = jnp.where(fwd_dir, st.hp, st.hm)
+        s1c = starting[:, None]
+        st = st._replace(
+            h_loc=jnp.where(starting, h_draw, st.h_loc),
+            coarse=jnp.where(starting, co_draw, st.coarse),
+            phase=jnp.where(starting, FWD, st.phase),
+            c_cur=jnp.where(starting, min_c, st.c_cur),
+            k=jnp.where(starting, 0, st.k),
+            qs=jnp.where(s1c, q_e, st.qs),
+            vs=jnp.where(s1c, v_e, st.vs),
+            gs=jnp.where(s1c, g_e, st.gs),
+            lps=jnp.where(starting, lp_e, st.lps),
+            h0s=jnp.where(starting, h_e, st.h0s),
+            qt=jnp.where(s1c, q_e, st.qt),
+            vt=jnp.where(s1c, v_e, st.vt),
+            gt=jnp.where(s1c, g_e, st.gt),
+            lpt=jnp.where(starting, lp_e, st.lpt),
+            ht=jnp.where(starting, h_e, st.ht),
+            dht=jnp.where(starting, 0.0, st.dht),
+            fint=jnp.where(starting, 1.0, st.fint),
+            nev_f=jnp.where(starting, 0, st.nev_f),
+            nev_b=jnp.where(starting, 0, st.nev_b),
+            i_f=jnp.where(starting, max_c, st.i_f),
+        )
+
+        # ------------------------------------------------------------
+        # C. ONE batched leapfrog micro step for every integrating chain
+        # ------------------------------------------------------------
+        integ = live & (st.k >= 0) & ~idle
+        n_steps_cur = jnp.left_shift(1, st.c_cur)
+        hh = jnp.where(integ, st.h_loc / n_steps_cur.astype(dtype), 0.0)
+        hh1 = hh[:, None]
+        vh = st.vt + 0.5 * hh1 * st.gt
+        q2 = st.qt + hh1 * vh
+        lp2, g2 = target.logp_grad(q2)
+        v2 = vh + 0.5 * hh1 * g2
+        h2 = -lp2 + 0.5 * jnp.sum(v2 * v2, axis=-1)
+        i1 = integ[:, None]
+        dh2 = jnp.abs(h2 - st.ht)
+        st = st._replace(
+            qt=jnp.where(i1, q2, st.qt),
+            vt=jnp.where(i1, v2, st.vt),
+            gt=jnp.where(i1, g2, st.gt),
+            lpt=jnp.where(integ, lp2, st.lpt),
+            ht=jnp.where(integ, h2, st.ht),
+            dht=jnp.where(integ, jnp.maximum(st.dht, dh2), st.dht),
+            fint=jnp.where(integ & ~jnp.isfinite(h2), 0.0, st.fint),
+            k=jnp.where(integ, st.k + 1, st.k),
+            nev_f=st.nev_f + (integ & (st.phase != BWD)).astype(jnp.int32),
+            nev_b=st.nev_b + (integ & (st.phase == BWD)).astype(jnp.int32),
+        )
+
+        # ------------------------------------------------------------
+        # D. trial completion
+        # ------------------------------------------------------------
+        t_done = integ & (st.k >= n_steps_cur)
+        t_fin = st.fint > 0.5
+        err_ok = t_fin & (jnp.abs(st.h0s - st.ht) < delta)
+
+        # -- FWD completions
+        f_done = t_done & (st.phase == FWD)
+        f_acc = f_done & (err_ok | (st.c_cur == max_c))
+        # accept the trial as the forward state
+        a1 = f_acc[:, None]
+        st = st._replace(
+            i_f=jnp.where(f_acc, st.c_cur, st.i_f),
+            qa=jnp.where(a1, st.qt, st.qa),
+            va=jnp.where(a1, st.vt, st.va),
+            ga=jnp.where(a1, st.gt, st.ga),
+            lpa=jnp.where(f_acc, st.lpt, st.lpa),
+            ha=jnp.where(f_acc, st.ht, st.ha),
+            dha=jnp.where(f_acc, st.dht, st.dha),
+            c_sim=jnp.where(f_acc, st.c_cur, st.c_sim),
+        )
+        # non-accepting forward trial: next level
+        f_retry = f_done & ~f_acc
+        # accepted + non-coarse: run the refined trial
+        go_fine = f_acc & ~st.coarse
+        # accepted + coarse: go backward (or finish if no levels below)
+        go_bwd_f = f_acc & st.coarse
+
+        # -- R2P completions (endpoint always taken)
+        r_done = t_done & (st.phase == R2P)
+        r1 = r_done[:, None]
+        st = st._replace(
+            qa=jnp.where(r1, st.qt, st.qa),
+            va=jnp.where(r1, st.vt, st.va),
+            ga=jnp.where(r1, st.gt, st.ga),
+            lpa=jnp.where(r_done, st.lpt, st.lpa),
+            ha=jnp.where(r_done, st.ht, st.ha),
+            dha=jnp.where(r_done, st.dht, st.dha),
+            c_sim=jnp.where(r_done, st.c_cur, st.c_sim),
+        )
+
+        # -- BWD completions (reference energy = the flipped endpoint's)
+        b_done = t_done & (st.phase == BWD)
+        b_err_ok = t_fin & (jnp.abs(st.ha - st.ht) < delta)
+        max_try = jnp.where(st.coarse, st.i_f - 1, max_c)
+        b_found = b_done & b_err_ok
+        b_next = b_done & ~b_err_ok & (st.c_cur < max_try)
+        b_exhaust = b_done & ~b_err_ok & (st.c_cur >= max_try)
+        i_b = jnp.where(b_found, st.c_cur,
+                        jnp.where(st.coarse, st.i_f, max_c))
+
+        # ---- phase transitions ----
+        # forward retry: c+1 from the macro start
+        def _reset_trial(st, mask, q, v, g, lp, h0):
+            mk = mask[:, None]
+            return st._replace(
+                qt=jnp.where(mk, q, st.qt),
+                vt=jnp.where(mk, v, st.vt),
+                gt=jnp.where(mk, g, st.gt),
+                lpt=jnp.where(mask, lp, st.lpt),
+                ht=jnp.where(mask, h0, st.ht),
+                dht=jnp.where(mask, 0.0, st.dht),
+                fint=jnp.where(mask, 1.0, st.fint),
+                k=jnp.where(mask, 0, st.k),
+            )
+
+        st = _reset_trial(st, f_retry, st.qs, st.vs, st.gs, st.lps,
+                          st.h0s)
+        st = st._replace(
+            c_cur=jnp.where(f_retry, st.c_cur + 1, st.c_cur))
+
+        # refined trial from the macro start at i_f + 1
+        st = _reset_trial(st, go_fine, st.qs, st.vs, st.gs, st.lps,
+                          st.h0s)
+        st = st._replace(
+            phase=jnp.where(go_fine, R2P, st.phase),
+            c_cur=jnp.where(go_fine, st.i_f + 1, st.c_cur))
+
+        # backward search starts from the flipped accepted endpoint
+        to_bwd = go_bwd_f | r_done
+        bwd_has_levels = jnp.where(st.coarse, st.i_f - 1, max_c) >= min_c
+        start_bwd = to_bwd & bwd_has_levels
+        st = _reset_trial(st, start_bwd, st.qa, -st.va, st.ga, st.lpa,
+                          st.ha)
+        st = st._replace(
+            phase=jnp.where(start_bwd, BWD, st.phase),
+            c_cur=jnp.where(start_bwd, min_c, st.c_cur))
+        # backward retry at next level
+        st = _reset_trial(st, b_next, st.qa, -st.va, st.ga, st.lpa,
+                          st.ha)
+        st = st._replace(c_cur=jnp.where(b_next, st.c_cur + 1, st.c_cur))
+
+        # ------------------------------------------------------------
+        # E. macro-step completion & orbit bookkeeping
+        # ------------------------------------------------------------
+        macro_done = (to_bwd & ~bwd_has_levels) | b_found | b_exhaust
+        i_b = jnp.where(to_bwd & ~bwd_has_levels,
+                        jnp.where(st.coarse, st.i_f, max_c), i_b)
+        finite_m = jnp.isfinite(st.ha)
+        md = macro_done
+        ok = md & finite_m
+
+        lwt_f_term = jnp.where(st.coarse, lp_c, lp_f)
+        lwt_b_term = jnp.where(
+            st.c_sim == i_b, lp_c,
+            jnp.where(st.c_sim == i_b + 1, lp_f, LOG_ZERO))
+        lwt = (lwt_b_term - lwt_f_term).astype(dtype)
+
+        # orientation back to orbit time
+        v_orb = jnp.where(fwd_dir[:, None], st.va, -st.va)
+        af = ok & fwd_dir
+        ab = ok & ~fwd_dir
+        rel = jnp.where(st.second, tab["rel2"][t], tab["rel1"][t])
+        slot = jnp.where(st.second, tab["slot2"][t], tab["slot1"][t])
+        abs_id = jnp.where(fwd_dir, st.b_abs + rel, st.a_abs - rel)
+
+        igr = (st.h_loc / jnp.exp2(st.c_sim.astype(dtype))) \
+            * jnp.maximum(st.dha, 1e-30) ** (-1.0 / 3.0)
+
+        lwt_sum_f = st.lwt_sum_f + jnp.where(af, lwt, 0.0)
+        lwt_sum_b = st.lwt_sum_b + jnp.where(ab, lwt, 0.0)
+        lwt_dir = jnp.where(fwd_dir, lwt_sum_f, lwt_sum_b)
+        w_new = jnp.exp(-st.ha + st.mscale + lwt_dir)
+        w_new_sum = st.w_new_sum + jnp.where(ok, w_new, 0.0)
+        u_cat = jax.random.uniform(k_cat, (C,), dtype)
+        sel = ok & (w_new_sum > thresh) & (u_cat * w_new_sum < w_new) \
+            & ~is_d0
+        sel = sel | (ok & is_d0)
+        time_f2 = st.time_f + jnp.where(af, st.h_loc, 0.0)
+        time_b2 = st.time_b + jnp.where(ab, st.h_loc, 0.0)
+        signed_time = jnp.where(fwd_dir, time_f2, -time_b2)
+        olen_mask = jnp.where(is_d0, md, ok)
+
+        store1 = store1_tab[t] & ~st.second
+        sel1 = sel[:, None]
+        st = st._replace(
+            qp=jnp.where(af[:, None], st.qa, st.qp),
+            vp=jnp.where(af[:, None], v_orb, st.vp),
+            gp=jnp.where(af[:, None], st.ga, st.gp),
+            lpp=jnp.where(af, st.lpa, st.lpp),
+            hp=jnp.where(af, st.ha, st.hp),
+            qm=jnp.where(ab[:, None], st.qa, st.qm),
+            vm=jnp.where(ab[:, None], v_orb, st.vm),
+            gm=jnp.where(ab[:, None], st.ga, st.gm),
+            lpm=jnp.where(ab, st.lpa, st.lpm),
+            hm=jnp.where(ab, st.ha, st.hm),
+            neval_f=st.neval_f + jnp.where(md, st.nev_f, 0),
+            neval_b=st.neval_b + jnp.where(md, st.nev_b, 0),
+            h_min=jnp.where(md, jnp.minimum(st.h_min, st.ha), st.h_min),
+            h_max=jnp.where(md, jnp.maximum(st.h_max, st.ha), st.h_max),
+            if_min=jnp.where(md, jnp.minimum(st.if_min, st.i_f),
+                             st.if_min),
+            if_max=jnp.where(md, jnp.maximum(st.if_max, st.i_f),
+                             st.if_max),
+            c_min_d=jnp.where(md, jnp.minimum(st.c_min_d, st.c_sim),
+                              st.c_min_d),
+            c_max_d=jnp.where(md, jnp.maximum(st.c_max_d, st.c_sim),
+                              st.c_max_d),
+            lwt_min=jnp.where(md, jnp.minimum(st.lwt_min, lwt),
+                              st.lwt_min),
+            lwt_max=jnp.where(md, jnp.maximum(st.lwt_max, lwt),
+                              st.lwt_max),
+            n_states=st.n_states + md.astype(jnp.int32),
+            n_if_neq_ib=st.n_if_neq_ib
+            + (md & (st.i_f != i_b)).astype(jnp.int32),
+            n_if_zero=st.n_if_zero + (md & (st.i_f == 0)).astype(
+                jnp.int32),
+            max_f_int=jnp.where(af, abs_id, st.max_f_int),
+            max_b_int=jnp.where(ab, abs_id, st.max_b_int),
+            time_f=time_f2, time_b=time_b2,
+            lwt_sum_f=lwt_sum_f, lwt_sum_b=lwt_sum_b,
+            w_new_sum=w_new_sum,
+            q_prop=jnp.where(sel1, st.qa, st.q_prop),
+            lp_prop=jnp.where(sel, st.lpa, st.lp_prop),
+            g_prop=jnp.where(sel1, st.ga, st.g_prop),
+            sel_l=jnp.where(sel, abs_id, st.sel_l),
+            idx_time=jnp.where(sel, signed_time, st.idx_time),
+            orbit_len=st.orbit_len + jnp.where(olen_mask, st.h_loc, 0.0),
+            slab_q=jnp.where(
+                ((ok & store1)[:, None]
+                 & (jnp.arange(S)[None, :] == slot[:, None]))[:, :, None],
+                st.qa[:, None, :], st.slab_q),
+            slab_v=jnp.where(
+                ((ok & store1)[:, None]
+                 & (jnp.arange(S)[None, :] == slot[:, None]))[:, :, None],
+                v_orb[:, None, :], st.slab_v),
+        )
+
+        forced = md & ~finite_m
+
+        # ---- pair / row sequencing --------------------------------
+        # first-of-pair completion: remember the state, start second
+        # (row_done below must use the PRE-update pair flag)
+        second_prev = st.second
+        first_done = md & ~second_prev & ~is_d0 & finite_m
+        fd1 = first_done[:, None]
+        st = st._replace(
+            q1=jnp.where(fd1, st.qa, st.q1),
+            v1=jnp.where(fd1, v_orb, st.v1),
+            second=jnp.where(first_done, True, st.second),
+            k=jnp.where(first_done, -1, st.k),
+        )
+
+        # second-of-pair (or depth-0) completion: checks + row advance
+        row_done = (md & (second_prev | is_d0) & finite_m) | forced
+        pair_ok = md & second_prev & finite_m
+
+        # adjacent U-turn between q1 and the new state
+        eq = jnp.where(fwd_dir[:, None], st.q1, st.qa)
+        ev = jnp.where(fwd_dir[:, None], st.v1, v_orb)
+        lq = jnp.where(fwd_dir[:, None], st.qa, st.q1)
+        lv = jnp.where(fwd_dir[:, None], v_orb, st.v1)
+        adj_ut = uturn(eq, ev, lq, lv)
+
+        # fused merge checks against span-start slab states
+        lvl_mask = check_slots[t]
+        d_f = st.qa[:, None, :] - st.slab_q
+        dot_new = jnp.sum(v_orb[:, None, :] * d_f, axis=-1)
+        dot_old = jnp.sum(st.slab_v * d_f, axis=-1)
+        ut_all = jnp.where(fwd_dir[:, None],
+                           (dot_new < 0.0) | (dot_old < 0.0),
+                           (dot_new > 0.0) | (dot_old > 0.0))
+        merge_ut = jnp.any(lvl_mask & ut_all, axis=1)
+        depth_done = st.depth_done | (pair_ok & (adj_ut | merge_ut))
+        st = st._replace(depth_done=depth_done,
+                         stop_code=jnp.where(forced, 999, st.stop_code))
+
+        done = forced
+
+        # depth-done chains mid-depth jump to the resolution row;
+        # depth-done chains AT the resolution row resolve now
+        jump = live & st.depth_done & ~last
+        arrived = live & st.depth_done & last & (st.k < 0)
+        p_mask = live & last & ((row_done & ~forced) | arrived)
+        su = p_mask & st.depth_done
+        go = p_mask & ~st.depth_done
+
+        u_acc = jax.random.uniform(k_acc, (C,), dtype)
+        keep_new = u_acc * st.w_old_sum < st.w_new_sum
+        restore = su | (go & ~keep_new)
+        st = st._replace(
+            q_prop=jnp.where(restore[:, None], st.q_prop_last,
+                             st.q_prop),
+            lp_prop=jnp.where(restore, st.lp_prop_last, st.lp_prop),
+            g_prop=jnp.where(restore[:, None], st.g_prop_last,
+                             st.g_prop),
+            sel_l=jnp.where(restore, st.sel_l_old, st.sel_l),
+            index_stat=jnp.where(
+                restore, st.index_stat_old,
+                jnp.where(p_mask,
+                          st.idx_time / jnp.maximum(
+                              st.time_f + st.time_b, 1e-30),
+                          st.index_stat)),
+            n_doubl_sampled=jnp.where(su, depth_t, st.n_doubl_sampled),
+            n_doubl_computed=jnp.where(su, depth_t + 1,
+                                       st.n_doubl_computed),
+            stop_code=jnp.where(su, 5, st.stop_code),
+        )
+        done = done | su
+
+        joined = uturn(st.qm, st.vm, st.qp, st.vp)
+        passive = (st.lwt_sum_b < log_zero_edge) & (
+            st.lwt_sum_f < log_zero_edge)
+        stop_now = go & (joined | passive)
+        st = st._replace(
+            n_doubl_sampled=jnp.where(go, depth_t + 1,
+                                      st.n_doubl_sampled),
+            n_doubl_computed=jnp.where(go, depth_t + 1,
+                                       st.n_doubl_computed),
+            orbit_len_sam=jnp.where(go, st.orbit_len, st.orbit_len_sam),
+            both_ends_passive=jnp.where(go, passive,
+                                        st.both_ends_passive),
+            stop_code=jnp.where(stop_now, jnp.where(joined, 4, -4),
+                                st.stop_code),
+        )
+        done = done | stop_now
+
+        cont = go & ~stop_now
+        pw = jnp.left_shift(jnp.ones((), jnp.int32), depth_t)
+        exhausted = cont & (st.t + 1 >= T)
+        done = (done | exhausted) & live
+        st = st._replace(
+            w_old_sum=jnp.where(cont, st.w_old_sum + st.w_new_sum,
+                                st.w_old_sum),
+            b_abs=jnp.where(cont & fwd_dir, st.b_abs + pw, st.b_abs),
+            a_abs=jnp.where(cont & ~fwd_dir, st.a_abs - pw, st.a_abs),
+            depth_done=jnp.where(p_mask, False, st.depth_done),
+        )
+
+        # ---- finalise transitions ----------------------------------
+        either_passive = (st.lwt_sum_b < log_zero_edge) | (
+            st.lwt_sum_f < log_zero_edge)
+        nst_ = jnp.maximum(st.n_states, 1).astype(dtype)
+        diag_row = jnp.stack([
+            st.sel_l.astype(dtype),
+            st.n_doubl_sampled.astype(dtype),
+            st.orbit_len, st.orbit_len_sam,
+            st.max_f_int.astype(dtype), st.max_b_int.astype(dtype),
+            st.neval_f.astype(dtype), st.neval_b.astype(dtype),
+            st.if_min.astype(dtype), st.if_max.astype(dtype),
+            st.lwt_min, st.lwt_max,
+            st.both_ends_passive.astype(dtype),
+            either_passive.astype(dtype),
+            st.n_if_neq_ib.astype(dtype) / nst_,
+            h_step,
+            st.n_if_zero.astype(dtype) / nst_,
+            st.h_max - st.h_min,
+            delta,
+            st.stop_code.astype(dtype),
+            st.n_doubl_computed.astype(dtype),
+            st.c_min_d.astype(dtype), st.c_max_d.astype(dtype),
+            st.index_stat,
+        ], axis=-1)
+        ar = jnp.arange(C)
+        row = jnp.where(done, st.it, num_iter)
+        gen = target.generated(st.q_prop)
+        samples = st.samples.at[row, ar].set(gen, mode="drop")
+        diags = st.diags.at[row, ar].set(diag_row, mode="drop")
+
+        # ---- advance t / it ----------------------------------------
+        # chains advancing to a new row (or same row's pair-second keep
+        # t); completed rows move to t+1; mid-depth depth-done jumps
+        advance_row = (row_done & ~done & ~forced) | (jump & ~p_mask) \
+            | (p_mask & ~done & ~su) | (su & False)
+        t_next = jnp.where(
+            st.depth_done & ~last & (row_done | jump),
+            last_idx_of_depth[st.t],
+            st.t + 1)
+        new_t = jnp.where(done | ~live, 0,
+                          jnp.where(row_done | jump, t_next, st.t))
+        # chains that resolved su (not done handled) — su always done
+        d1 = done[:, None]
+        st = st._replace(
+            n=n + 1,
+            t=new_t,
+            it=st.it + done.astype(jnp.int32),
+            qc=jnp.where(d1, st.q_prop, st.qc),
+            lpc=jnp.where(done, st.lp_prop, st.lpc),
+            gc=jnp.where(d1, st.g_prop, st.gc),
+            samples=samples, diags=diags,
+            second=jnp.where(row_done | done | jump, False, st.second),
+            k=jnp.where(row_done | done | jump, -1, st.k),
+        )
+        return st
+
+    st = jax.lax.while_loop(cond, body, st)
+    return st.samples, st.diags, st.qc
