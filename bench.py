@@ -120,48 +120,42 @@ def main():
     samples_w, diags_w, state = run(jax.random.PRNGKey(1), q0, WARMUP)
     jax.block_until_ready(samples_w)
 
-    # timed sampling phase: the streaming (continuous-batching) engine
-    # with fixed tuning from warmup — chains never idle at transition
-    # barriers
-    from walnuts_tpu.sampler.streaming import run_walnuts_streaming
+    # timed sampling phase: the megakernel (fully-flattened) engine in
+    # total-draw-budget mode — one batched micro step per round for
+    # every chain, ring-buffered outputs, no idle tails
+    from walnuts_tpu.sampler.megakernel import run_walnuts_fused
 
     cfg2 = wt.WalnutsConfig(m=M)
     q1 = state.q
-    CHUNK = 50  # keep the carried output buffers small
 
     # compile the timed configuration once before timing
-    s_c, d_c, q1 = run_walnuts_streaming(
+    s_c, d_c, q1, cnt_c, ng_c = run_walnuts_fused(
         jax.random.PRNGKey(2), q1, state.h, state.delta,
-        target=target, cfg=cfg2, num_iter=CHUNK)
+        target=target, cfg=cfg2, num_iter=ITERS, stop_mode="total")
     jax.block_until_ready(s_c)
 
     t0 = time.perf_counter()
-    samples = []
-    diags = []
-    for i in range(ITERS // CHUNK):
-        s_i, d_i, q1 = run_walnuts_streaming(
-            jax.random.fold_in(jax.random.PRNGKey(3), i), q1,
-            state.h, state.delta, target=target, cfg=cfg2,
-            num_iter=CHUNK)
-        samples.append(s_i)
-        diags.append(d_i)
-    samples = jax.block_until_ready(jnp.concatenate(samples, axis=0))
+    samples, diags, q1, counts, n_grad = run_walnuts_fused(
+        jax.random.PRNGKey(3), q1, state.h, state.delta,
+        target=target, cfg=cfg2, num_iter=ITERS, stop_mode="total")
+    samples = jax.block_until_ready(samples)
     dt = time.perf_counter() - t0
 
-    diags = np.asarray(jnp.concatenate(diags, axis=0))
-    n_grad = float(diags[..., 6].sum() + diags[..., 7].sum())
+    n_grad = float(n_grad)
     grad_per_s = n_grad / dt
 
-    # min-ESS/s over coordinates ([N, C, D] -> per-coordinate ESS),
-    # estimated on a 2048-chain subset and scaled (ESS is additive over
-    # independent chains)
+    # min-ESS/s over coordinates, from chains whose ring buffer is
+    # full, on a 2048-chain subset, scaled to the full batch (ESS is
+    # additive over independent chains)
+    counts = np.asarray(counts)
+    full = np.where(counts >= ITERS)[0][:2048]
     draws = np.asarray(samples, np.float64)
-    ess_vals = np.asarray(ess(jnp.asarray(draws[:, :2048]))) \
-        * (CHAINS / 2048.0)
+    ess_vals = np.asarray(ess(jnp.asarray(draws[:, full]))) \
+        * (CHAINS / len(full))
     min_ess_per_s = float(ess_vals.min() / dt)
 
     # posterior sanity: omega ~ N(0, 9)
-    w = draws[:, :, 0].ravel()
+    w = draws[:, full, 0].ravel()
     omega_sd_err = abs(float(w.std()) - 3.0)
 
     base = numpy_baseline_grad_evals_per_s()

@@ -15,7 +15,7 @@ def test_fused_gauss_moments_and_distributions():
     q0 = jax.random.normal(jax.random.PRNGKey(1), (C, 10), jnp.float64)
     h = jnp.full((C,), 0.5, jnp.float64)
     dl = jnp.full((C,), 0.1, jnp.float64)
-    s, d, qf = run_walnuts_fused(
+    s, d, qf, cnt, ng = run_walnuts_fused(
         jax.random.PRNGKey(11), q0, h, dl, target=t,
         cfg=wt.WalnutsConfig(m=6), num_iter=400)
     x = np.asarray(s)[100:]
@@ -43,7 +43,7 @@ def test_fused_funnel_omega():
                                  jnp.float64)
     h = jnp.full((C,), 0.32, jnp.float64)
     dl = jnp.full((C,), 0.34, jnp.float64)
-    s, d, qf = run_walnuts_fused(
+    s, d, qf, cnt, ng = run_walnuts_fused(
         jax.random.PRNGKey(5), q0, h, dl, target=t,
         cfg=wt.WalnutsConfig(m=7), num_iter=600)
     w = np.asarray(s)[150:, :, 0].ravel()
@@ -58,12 +58,34 @@ def test_fused_chunked_resume():
     q0 = jax.random.normal(jax.random.PRNGKey(0), (C, 4), jnp.float64)
     h = jnp.full((C,), 0.5, jnp.float64)
     dl = jnp.full((C,), 0.1, jnp.float64)
-    s1, d1, qf = run_walnuts_fused(
+    s1, d1, qf, c1, ng1 = run_walnuts_fused(
         jax.random.PRNGKey(1), q0, h, dl, target=t,
         cfg=wt.WalnutsConfig(m=5), num_iter=50)
-    s2, d2, qf2 = run_walnuts_fused(
+    s2, d2, qf2, c2, ng2 = run_walnuts_fused(
         jax.random.PRNGKey(2), qf, h, dl, target=t,
         cfg=wt.WalnutsConfig(m=5), num_iter=50)
     assert s1.shape == (50, C, 4)
     np.testing.assert_array_equal(np.asarray(qf), np.asarray(s1)[-1])
     assert np.all(np.isfinite(np.asarray(s2)))
+
+
+def test_fused_total_budget_mode():
+    """Ring-buffer total-draw budget: all chains stay active, unequal
+    counts, correct moments."""
+    t = wt.targets.std_gauss(6)
+    C = 64
+    q0 = jax.random.normal(jax.random.PRNGKey(0), (C, 6), jnp.float64)
+    h = jnp.full((C,), 0.5, jnp.float64)
+    dl = jnp.full((C,), 0.1, jnp.float64)
+    s, d, qf, cnt, ng = run_walnuts_fused(
+        jax.random.PRNGKey(1), q0, h, dl, target=t,
+        cfg=wt.WalnutsConfig(m=5), num_iter=200, stop_mode="total")
+    cnt = np.asarray(cnt)
+    assert cnt.sum() >= C * 200
+    # most chains exceeded the per-chain quota or are near it
+    assert cnt.min() > 50
+    full = cnt >= 200
+    x = np.asarray(s)[:, full, :]
+    n_eff = x.shape[0] * x.shape[1] / 8
+    assert abs(x.mean()) < 5 / np.sqrt(n_eff)
+    assert abs(x.std() - 1.0) < 5 * np.sqrt(0.5 / n_eff)

@@ -150,16 +150,32 @@ class _MState(NamedTuple):
     slab_v: jnp.ndarray
     samples: jnp.ndarray
     diags: jnp.ndarray
+    total_grads: jnp.ndarray  # scalar: all gradient evals this run
 
 
-@partial(jax.jit, static_argnames=("target", "cfg", "num_iter"))
+@partial(jax.jit, static_argnames=("target", "cfg", "num_iter",
+                                   "stop_mode"))
 def run_walnuts_fused(key, q0, h_step, delta, *, target,
-                      cfg: WalnutsConfig, num_iter: int):
-    """Stream ``num_iter`` fixed-tuning WALNUTS-R2P transitions per
-    chain with one batched micro step per round.
+                      cfg: WalnutsConfig, num_iter: int,
+                      stop_mode: str = "per_chain"):
+    """Stream fixed-tuning WALNUTS-R2P transitions with one batched
+    micro step per round.
+
+    ``stop_mode``:
+
+    * ``"per_chain"`` — every chain produces exactly ``num_iter``
+      draws.  Chains finish at very different speeds (orbit depths
+      span 2^2..2^7 rounds per transition), so the batch spends a long
+      tail at low utilisation waiting for the slowest chain.
+    * ``"total"`` — run until ``C * num_iter`` draws exist in total;
+      each chain's buffer is a ring holding its most recent
+      ``num_iter`` draws and no chain ever idles (utilisation stays
+      ~100% to the end).  Chains contribute unequal draw counts —
+      fine for stationary-phase sampling; the returned per-chain
+      counts let the caller truncate to a rectangle if needed.
 
     Returns ``(samples [num_iter, C, dg], diagnostics
-    [num_iter, C, 24], q_final [C, D])``.
+    [num_iter, C, 24], q_final [C, D], counts [C])``.
     """
     C, D = q0.shape
     dtype = q0.dtype
@@ -171,12 +187,14 @@ def run_walnuts_fused(key, q0, h_step, delta, *, target,
     lp_f = jnp.log(jnp.asarray(1.0 - p0, dtype))
     sched = build_schedule(m)
     T = sched.n_steps
-    S = sched.capacity
+    # the slab stores only span-start states, indexed by span LEVEL
+    # (log2 span size, levels 2..m-1): at most m-2 live at once
+    S = max(m - 2, 1)
     dg = target.generated_dim
 
     tab = {
         name: jnp.asarray(getattr(sched, name))
-        for name in ("depth", "rel1", "rel2", "slot1", "slot2",
+        for name in ("depth", "rel1", "rel2",
                      "last_of_depth", "is_depth0")
     }
     first_of_depth = jnp.asarray(
@@ -184,13 +202,24 @@ def run_walnuts_fused(key, q0, h_step, delta, *, target,
                   for i in range(1, T)])
     import numpy as _np
 
+    # store mask: the pair's FIRST state (rel1) opens spans at every
+    # level j >= 2 with rel1 == 1 (mod 2^j); check mask: the SECOND
+    # state (rel2) closes spans at every level j >= 2 with
+    # rel2 == 0 (mod 2^j) within its depth's subtree
+    _store = _np.zeros((T, S), bool)
     _check = _np.zeros((T, S), bool)
     for _t in range(T):
-        for _k in range(sched.max_post):
-            if sched.post_valid[_t, _k]:
-                _check[_t, sched.post_slot_lo[_t, _k]] = True
+        d_t = int(sched.depth[_t])
+        if d_t < 2:
+            continue
+        r1, r2 = int(sched.rel1[_t]), int(sched.rel2[_t])
+        for j in range(2, d_t + 1):
+            if r1 % (1 << j) == 1:
+                _store[_t, j - 2] = True
+            if r2 % (1 << j) == 0 and r2 >= (1 << j):
+                _check[_t, j - 2] = True
+    store_mask_tab = jnp.asarray(_store)
     check_slots = jnp.asarray(_check)
-    store1_tab = jnp.asarray((sched.rel1 % 4 == 1) & (sched.depth >= 2))
     _last_idx = _np.zeros(T, _np.int32)
     for _d in range(m):
         _rows = _np.where(sched.depth == _d)[0]
@@ -243,17 +272,26 @@ def run_walnuts_fused(key, q0, h_step, delta, *, target,
         slab_v=jnp.zeros((C, S, D), dtype),
         samples=jnp.zeros((num_iter, C, dg), dtype),
         diags=jnp.zeros((num_iter, C, 24), dtype),
+        total_grads=jnp.zeros((), jnp.int64 if
+                              jax.config.jax_enable_x64 else jnp.int32),
     )
     # start: every chain needs fresh-init; mark by t=0 & a sentinel so
     # the first round initialises before integrating
     st = st._replace(k=jnp.full((C,), -1, jnp.int32))
 
+    total_target = C * num_iter
+
     def cond(st):
+        if stop_mode == "total":
+            return jnp.sum(st.it) < total_target
         return jnp.any(st.it < num_iter)
 
     def body(st):
         n = st.n
-        live = st.it < num_iter
+        if stop_mode == "total":
+            live = jnp.ones((C,), bool)
+        else:
+            live = st.it < num_iter
         kn = jax.random.fold_in(key, n)
         (k_h, k_co, k_cat, k_acc, k_mom, k_dirs) = jax.random.split(kn, 6)
 
@@ -412,6 +450,8 @@ def run_walnuts_fused(key, q0, h_step, delta, *, target,
             k=jnp.where(integ, st.k + 1, st.k),
             nev_f=st.nev_f + (integ & (st.phase != BWD)).astype(jnp.int32),
             nev_b=st.nev_b + (integ & (st.phase == BWD)).astype(jnp.int32),
+            total_grads=st.total_grads
+            + jnp.sum(integ).astype(st.total_grads.dtype),
         )
 
         # ------------------------------------------------------------
@@ -528,7 +568,6 @@ def run_walnuts_fused(key, q0, h_step, delta, *, target,
         af = ok & fwd_dir
         ab = ok & ~fwd_dir
         rel = jnp.where(st.second, tab["rel2"][t], tab["rel1"][t])
-        slot = jnp.where(st.second, tab["slot2"][t], tab["slot1"][t])
         abs_id = jnp.where(fwd_dir, st.b_abs + rel, st.a_abs - rel)
 
         igr = (st.h_loc / jnp.exp2(st.c_sim.astype(dtype))) \
@@ -548,7 +587,8 @@ def run_walnuts_fused(key, q0, h_step, delta, *, target,
         signed_time = jnp.where(fwd_dir, time_f2, -time_b2)
         olen_mask = jnp.where(is_d0, md, ok)
 
-        store1 = store1_tab[t] & ~st.second
+        # multi-hot span-level store mask for the pair's first member
+        store_lvls = store_mask_tab[t] & (ok & ~st.second)[:, None]
         sel1 = sel[:, None]
         st = st._replace(
             qp=jnp.where(af[:, None], st.qa, st.qp),
@@ -593,14 +633,10 @@ def run_walnuts_fused(key, q0, h_step, delta, *, target,
             sel_l=jnp.where(sel, abs_id, st.sel_l),
             idx_time=jnp.where(sel, signed_time, st.idx_time),
             orbit_len=st.orbit_len + jnp.where(olen_mask, st.h_loc, 0.0),
-            slab_q=jnp.where(
-                ((ok & store1)[:, None]
-                 & (jnp.arange(S)[None, :] == slot[:, None]))[:, :, None],
-                st.qa[:, None, :], st.slab_q),
-            slab_v=jnp.where(
-                ((ok & store1)[:, None]
-                 & (jnp.arange(S)[None, :] == slot[:, None]))[:, :, None],
-                v_orb[:, None, :], st.slab_v),
+            slab_q=jnp.where(store_lvls[:, :, None],
+                             st.qa[:, None, :], st.slab_q),
+            slab_v=jnp.where(store_lvls[:, :, None],
+                             v_orb[:, None, :], st.slab_v),
         )
 
         forced = md & ~finite_m
@@ -729,7 +765,10 @@ def run_walnuts_fused(key, q0, h_step, delta, *, target,
             st.index_stat,
         ], axis=-1)
         ar = jnp.arange(C)
-        row = jnp.where(done, st.it, num_iter)
+        if stop_mode == "total":
+            row = jnp.where(done, st.it % num_iter, num_iter)
+        else:
+            row = jnp.where(done, st.it, num_iter)
         gen = target.generated(st.q_prop)
         samples = st.samples.at[row, ar].set(gen, mode="drop")
         diags = st.diags.at[row, ar].set(diag_row, mode="drop")
@@ -761,4 +800,4 @@ def run_walnuts_fused(key, q0, h_step, delta, *, target,
         return st
 
     st = jax.lax.while_loop(cond, body, st)
-    return st.samples, st.diags, st.qc
+    return st.samples, st.diags, st.qc, st.it, st.total_grads
