@@ -95,58 +95,96 @@ def numpy_baseline_grad_evals_per_s(min_seconds=3.0):
 
 
 # ----------------------------------------------------------------------
+def warmup_phase(state_path):
+    """Phase 1 (own process): pooled-consensus warmup adaptation with
+    the scan engine; tuning + positions saved for phase 2.  Run in a
+    separate process from the timed phase because back-to-back large
+    program compiles intermittently fault the TPU tunnel."""
+    import jax
+    import jax.numpy as jnp
+
+    import walnuts_tpu as wt
+
+    target = wt.targets.funnel(DIM)
+    cfg = wt.WalnutsConfig(m=M)
+    wu = wt.WarmupConfig(warmup_iter=WARMUP, pooled=True)
+    q0 = 0.3 * jax.random.normal(jax.random.PRNGKey(0), (CHAINS, DIM),
+                                 jnp.float32)
+    samples_w, diags_w, state = wt.run_walnuts(
+        jax.random.PRNGKey(1), q0, target=target, cfg=cfg, warmup=wu,
+        num_iter=WARMUP, h0=H0, delta0=DELTA0)
+    jax.block_until_ready(samples_w)
+    np.savez(state_path, q=np.asarray(state.q), h=np.asarray(state.h),
+             delta=np.asarray(state.delta))
+
+
 def main():
+    """Orchestrate warmup and timed phases as separate subprocesses
+    (large back-to-back compiles in one process intermittently fault
+    the TPU tunnel), retrying each phase once on failure."""
+    import os
+    import subprocess
+    import sys
+
+    state_path = "/tmp/bench_warm_state.npz"
+    me = os.path.abspath(__file__)
+    for phase in ("warmup", "timed"):
+        for attempt in (1, 2):
+            r = subprocess.run([sys.executable, me, "--phase", phase,
+                                "--state", state_path])
+            if r.returncode == 0:
+                break
+        else:
+            raise SystemExit(f"bench {phase} phase failed twice")
+
+
+def timed_phase(state_path):
     import jax
     import jax.numpy as jnp
 
     import walnuts_tpu as wt
     from walnuts_tpu.diagnostics import ess
+    from walnuts_tpu.sampler.megakernel import run_walnuts_fused
 
     target = wt.targets.funnel(DIM)
-    cfg = wt.WalnutsConfig(m=M)
-    # pooled consensus warmup: homogeneous (H, delta) across the batch
-    # keeps the masked search depths dense on TPU
-    wu = wt.WarmupConfig(warmup_iter=WARMUP, pooled=True)
-
-    key = jax.random.PRNGKey(0)
-    q0 = 0.3 * jax.random.normal(key, (CHAINS, DIM), jnp.float32)
-
-    def run(key, q0, n_iter):
-        return wt.run_walnuts(
-            key, q0, target=target, cfg=cfg, warmup=wu,
-            num_iter=n_iter, h0=H0, delta0=DELTA0)
-
-    # compile + warmup phase (not timed); pooled consensus adaptation
-    samples_w, diags_w, state = run(jax.random.PRNGKey(1), q0, WARMUP)
-    jax.block_until_ready(samples_w)
+    with np.load(state_path) as f:
+        q1 = jnp.asarray(f["q"])
+        h_t = jnp.asarray(f["h"])
+        d_t = jnp.asarray(f["delta"])
 
     # timed sampling phase: the megakernel (fully-flattened) engine in
     # total-draw-budget mode — one batched micro step per round for
-    # every chain, ring-buffered outputs, no idle tails
-    from walnuts_tpu.sampler.megakernel import run_walnuts_fused
-
+    # every chain, ring-buffered outputs, no idle tails.  Chunked so
+    # the carried output buffers stay small.
     cfg2 = wt.WalnutsConfig(m=M)
-    q1 = state.q
+    CHUNK = 50
 
     # compile the timed configuration once before timing
     s_c, d_c, q1, cnt_c, ng_c = run_walnuts_fused(
-        jax.random.PRNGKey(2), q1, state.h, state.delta,
-        target=target, cfg=cfg2, num_iter=ITERS, stop_mode="total")
+        jax.random.PRNGKey(2), q1, h_t, d_t,
+        target=target, cfg=cfg2, num_iter=CHUNK, stop_mode="total")
     jax.block_until_ready(s_c)
 
     t0 = time.perf_counter()
-    samples, diags, q1, counts, n_grad = run_walnuts_fused(
-        jax.random.PRNGKey(3), q1, state.h, state.delta,
-        target=target, cfg=cfg2, num_iter=ITERS, stop_mode="total")
-    samples = jax.block_until_ready(samples)
+    samples = []
+    counts = 0
+    n_grad = 0.0
+    for i in range(ITERS // CHUNK):
+        s_i, d_i, q1, cnt_i, ng_i = run_walnuts_fused(
+            jax.random.fold_in(jax.random.PRNGKey(3), i), q1, h_t, d_t,
+            target=target, cfg=cfg2, num_iter=CHUNK, stop_mode="total")
+        samples.append(s_i)
+        counts = counts + cnt_i
+        n_grad = n_grad + ng_i
+    samples = jax.block_until_ready(jnp.concatenate(samples, axis=0))
     dt = time.perf_counter() - t0
 
     n_grad = float(n_grad)
     grad_per_s = n_grad / dt
 
-    # min-ESS/s over coordinates, from chains whose ring buffer is
-    # full, on a 2048-chain subset, scaled to the full batch (ESS is
-    # additive over independent chains)
+    # min-ESS/s over coordinates, from chains whose ring buffers are
+    # full in every chunk, on a 2048-chain subset, scaled to the full
+    # batch (ESS is additive over independent chains)
     counts = np.asarray(counts)
     full = np.where(counts >= ITERS)[0][:2048]
     draws = np.asarray(samples, np.float64)
@@ -179,4 +217,15 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--phase", default="all")
+    ap.add_argument("--state", default="/tmp/bench_warm_state.npz")
+    args = ap.parse_args()
+    if args.phase == "warmup":
+        warmup_phase(args.state)
+    elif args.phase == "timed":
+        timed_phase(args.state)
+    else:
+        main()
