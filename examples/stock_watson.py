@@ -22,15 +22,17 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np
 
 
-def main():
-    ap = argparse.ArgumentParser()
-    ap.add_argument("--chains", type=int, default=64)
-    ap.add_argument("--iters", type=int, default=1500)
-    ap.add_argument("--warmup", type=int, default=500)
-    ap.add_argument("--m", type=int, default=12)
-    ap.add_argument("--out", default="examples/out_stock_watson.json")
-    args = ap.parse_args()
+CONFIGS = [
+    ("walnuts_d", "adapt_leapfrog_d", 0.1, dict(min_c=3)),
+    ("walnuts_r2p", "adapt_leapfrog_r2p", 0.1, dict(min_c=3)),
+    ("nuts", "fixed_leapfrog", 0.002, dict()),
+]
 
+
+def run_one(args, tag):
+    """Run ONE sampler config and dump its summary JSON (each sampler
+    gets its own process: consecutive large program compiles in one
+    process intermittently fault the TPU tunnel)."""
     import jax
     import jax.numpy as jnp
 
@@ -43,12 +45,7 @@ def main():
                                  (args.chains, t.dim), jnp.float32)
 
     runs = {}
-    configs = [
-        ("walnuts_d", "adapt_leapfrog_d", 0.1, dict(min_c=3)),
-        ("walnuts_r2p", "adapt_leapfrog_r2p", 0.1, dict(min_c=3)),
-        ("nuts", "fixed_leapfrog", 0.002, dict()),
-    ]
-    for tag, integ, h0, igr_kw in configs:
+    for tag, integ, h0, igr_kw in [c for c in CONFIGS if c[0] == tag]:
         cfg = wt.WalnutsConfig(
             m=args.m, integrator=integ,
             igr=wt.IntegratorConfig(**igr_kw))
@@ -81,6 +78,37 @@ def main():
         }
         print(json.dumps({tag: runs[tag]["bands"]["tau"],
                           "grad_evals": runs[tag]["grad_evals"]}, default=float))
+    with open(args.out + "." + tag, "w") as f:
+        json.dump(runs[tag], f, default=float)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--chains", type=int, default=64)
+    ap.add_argument("--iters", type=int, default=1500)
+    ap.add_argument("--warmup", type=int, default=500)
+    ap.add_argument("--m", type=int, default=12)
+    ap.add_argument("--out", default="examples/out_stock_watson.json")
+    ap.add_argument("--only", default=None)
+    args = ap.parse_args()
+
+    if args.only:
+        run_one(args, args.only)
+        return
+
+    import subprocess
+    import sys
+
+    me = os.path.abspath(__file__)
+    runs = {}
+    for tag, *_ in CONFIGS:
+        subprocess.run(
+            [sys.executable, me, "--chains", str(args.chains),
+             "--iters", str(args.iters), "--warmup", str(args.warmup),
+             "--m", str(args.m), "--out", args.out, "--only", tag],
+            check=True)
+        with open(args.out + "." + tag) as f:
+            runs[tag] = json.load(f)
 
     # acceptance: quantile bands agree across samplers (plotsSW.py)
     def band_gap(a, b):
