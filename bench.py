@@ -12,9 +12,10 @@ Prints ONE JSON line:
                the way the reference runs: one chain, NumPy, float64.
                North-star target is >= 100x (BASELINE.json).
 
-Also reported in the JSON line under "extra": min-ESS/s across the
-funnel's D=101 coordinates and the posterior sanity check on the
-exact omega ~ N(0,3^2) marginal.
+Also reported under "extra": min-ESS/s, the posterior sanity check on
+the exact omega ~ N(0, 3^2) marginal, and the honest *native* C++
+single-core comparator (native/walnuts_engine.cpp): its grad-evals/s
+and min-ESS/s on the identical funnel-101 config.
 """
 
 import json
@@ -28,8 +29,9 @@ DIM = 101
 M = 8
 H0 = 0.3
 DELTA0 = 0.3
-WARMUP = 100
-ITERS = 300
+WARMUP = 700       # untimed in-loop megakernel warmup transitions
+ITERS = 300        # timed per-chain draw budget (total mode)
+NATIVE_ITERS = 3000
 
 
 # ----------------------------------------------------------------------
@@ -96,49 +98,70 @@ def numpy_baseline_grad_evals_per_s(min_seconds=3.0):
 
 # ----------------------------------------------------------------------
 def warmup_phase(state_path):
-    """Phase 1 (own process): pooled-consensus warmup adaptation with
-    the scan engine; tuning + positions saved for phase 2.  Run in a
-    separate process from the timed phase because back-to-back large
-    program compiles intermittently fault the TPU tunnel."""
+    """Phase 1 (own process): in-loop megakernel warmup with pooled
+    consensus — the megakernel's ~10M grad/s make a long (untimed)
+    adaptation affordable, which is what funnel-101's slow omega
+    transient needs (round-1's 100 scan-iter warmup shipped a failed
+    posterior sanity check).  Tuning + positions saved for phase 2."""
     import jax
     import jax.numpy as jnp
 
     import walnuts_tpu as wt
+    from walnuts_tpu.sampler.megakernel import run_walnuts_fused
 
     target = wt.targets.funnel(DIM)
     cfg = wt.WalnutsConfig(m=M)
-    wu = wt.WarmupConfig(warmup_iter=WARMUP, pooled=True)
     q0 = 0.3 * jax.random.normal(jax.random.PRNGKey(0), (CHAINS, DIM),
                                  jnp.float32)
-    samples_w, diags_w, state = wt.run_walnuts(
-        jax.random.PRNGKey(1), q0, target=target, cfg=cfg, warmup=wu,
-        num_iter=WARMUP, h0=H0, delta0=DELTA0)
-    jax.block_until_ready(samples_w)
-    np.savez(state_path, q=np.asarray(state.q), h=np.asarray(state.h),
-             delta=np.asarray(state.delta))
+    # chunked (same-shape, one compile) invocations: minutes-long
+    # single while_loop executions are a known tunnel fault trigger;
+    # adaptation state (P2 estimators) carries across chunks
+    CH = 100
+    wu = wt.WarmupConfig(warmup_iter=CH, pooled=True)
+    h_t = jnp.full((CHAINS,), H0, jnp.float32)
+    d_t = jnp.full((CHAINS,), DELTA0, jnp.float32)
+    # explicit initial P2 state so every chunk shares ONE compiled
+    # program (a None first chunk would compile a second variant)
+    from walnuts_tpu.utils.p2 import p2_init
+    adapt = (p2_init(1.0 - wu.adapt_h_target, (CHAINS,), jnp.float32),
+             p2_init(wu.adapt_delta_quantile, (CHAINS,), jnp.float32))
+    q1 = q0
+    for i in range(WARMUP // CH):
+        s, d, q1, cnt, ng, h_t, d_t, adapt = run_walnuts_fused(
+            jax.random.fold_in(jax.random.PRNGKey(1), i), q1, h_t, d_t,
+            target=target, cfg=cfg, num_iter=CH, warmup=wu,
+            ring_rows=8, adapt_state=adapt)
+        jax.block_until_ready(s)
+    np.savez(state_path, q=np.asarray(q1), h=np.asarray(h_t),
+             delta=np.asarray(d_t))
 
 
-def main():
-    """Orchestrate warmup and timed phases as separate subprocesses
-    (large back-to-back compiles in one process intermittently fault
-    the TPU tunnel), retrying each phase once on failure."""
-    import os
-    import subprocess
-    import sys
+def native_phase(result_path):
+    """Phase 1b (own process, CPU only): the native C++ single-core
+    engine on the identical funnel-101 config — the honest 'performant
+    native implementation' comparator (the BridgeStan-era reference
+    only ever had single-core NumPy)."""
+    import walnuts_tpu.native as native
+    from walnuts_tpu.diagnostics.ess import ess
 
-    state_path = "/tmp/bench_warm_state.npz"
-    me = os.path.abspath(__file__)
-    for phase in ("warmup", "timed"):
-        for attempt in (1, 2):
-            r = subprocess.run([sys.executable, me, "--phase", phase,
-                                "--state", state_path])
-            if r.returncode == 0:
-                break
-        else:
-            raise SystemExit(f"bench {phase} phase failed twice")
+    rng = np.random.default_rng(3)
+    q0 = 0.3 * rng.normal(size=DIM)
+    t0 = time.perf_counter()
+    draws, n_grad = native.run("funnel", DIM, q0, NATIVE_ITERS,
+                               h0=H0, delta=DELTA0, m=M, seed=7)
+    dt = time.perf_counter() - t0
+    burn = NATIVE_ITERS // 5
+    ess_vals = np.asarray(ess(draws[burn:, None, :]))
+    out = {
+        "native_grad_evals_per_s": n_grad / dt,
+        "native_min_ess_per_s": float(ess_vals.min()) / dt,
+        "native_seconds": dt,
+    }
+    with open(result_path, "w") as f:
+        json.dump(out, f)
 
 
-def timed_phase(state_path):
+def timed_phase(state_path, native_path):
     import jax
     import jax.numpy as jnp
 
@@ -182,14 +205,18 @@ def timed_phase(state_path):
     n_grad = float(n_grad)
     grad_per_s = n_grad / dt
 
-    # min-ESS/s over coordinates, from chains whose ring buffers are
-    # full in every chunk, on a 2048-chain subset, scaled to the full
-    # batch (ESS is additive over independent chains)
+    # min-ESS/s over coordinates.  ESS is additive over independent
+    # chains; chains whose rings filled in every chunk contribute an
+    # FFT-ESS directly, and the remainder (partial rings; the *slow*,
+    # deep-orbit chains, so extrapolating from the full subset alone
+    # would be biased) are scaled in by their share of the total draw
+    # count.
     counts = np.asarray(counts)
-    full = np.where(counts >= ITERS)[0][:2048]
+    full = np.where(counts >= ITERS)[0]
     draws = np.asarray(samples, np.float64)
-    ess_vals = np.asarray(ess(jnp.asarray(draws[:, full]))) \
-        * (CHAINS / len(full))
+    ess_full = np.asarray(ess(jnp.asarray(draws[:, full])))
+    draw_scale = counts.sum() / max(len(full) * ITERS, 1)
+    ess_vals = ess_full * draw_scale
     min_ess_per_s = float(ess_vals.min() / dt)
 
     # posterior sanity: omega ~ N(0, 9)
@@ -197,23 +224,73 @@ def timed_phase(state_path):
     omega_sd_err = abs(float(w.std()) - 3.0)
 
     base = numpy_baseline_grad_evals_per_s()
+    try:
+        with open(native_path) as f:
+            native = json.load(f)
+    except Exception:
+        native = {}
+
+    extra = {
+        "chains": CHAINS,
+        "iters_timed": ITERS,
+        "warmup_iters": WARMUP,
+        "seconds": round(dt, 2),
+        "min_ess_per_s": round(min_ess_per_s, 2),
+        "numpy_single_core_grad_evals_per_s": round(base, 1),
+        "omega_sd_abs_error": round(omega_sd_err, 4),
+        "full_ring_chains": int(len(full)),
+        "adapted_h_median": round(float(np.median(np.asarray(h_t))), 4),
+        "adapted_delta_median": round(
+            float(np.median(np.asarray(d_t))), 4),
+        "device": str(jax.devices()[0]),
+    }
+    if native:
+        extra["native_cpp_grad_evals_per_s"] = round(
+            native["native_grad_evals_per_s"], 1)
+        extra["native_cpp_min_ess_per_s"] = round(
+            native["native_min_ess_per_s"], 3)
+        extra["vs_native_cpp_grad"] = round(
+            grad_per_s / native["native_grad_evals_per_s"], 2)
+        extra["vs_native_cpp_min_ess"] = round(
+            min_ess_per_s / max(native["native_min_ess_per_s"], 1e-12),
+            2)
 
     out = {
         "metric": "grad_evals_per_s_funnel101",
         "value": round(grad_per_s, 1),
         "unit": "grad-evals/s",
         "vs_baseline": round(grad_per_s / base, 2),
-        "extra": {
-            "chains": CHAINS,
-            "iters_timed": ITERS,
-            "seconds": round(dt, 2),
-            "min_ess_per_s": round(min_ess_per_s, 2),
-            "numpy_single_core_grad_evals_per_s": round(base, 1),
-            "omega_sd_abs_error": round(omega_sd_err, 4),
-            "device": str(jax.devices()[0]),
-        },
+        "extra": extra,
     }
     print(json.dumps(out))
+
+
+def main():
+    """Orchestrate warmup, native-comparator and timed phases as
+    separate subprocesses (large back-to-back compiles in one process
+    intermittently fault the TPU tunnel), retrying each phase once on
+    failure."""
+    import os
+    import subprocess
+    import sys
+
+    state_path = "/tmp/bench_warm_state.npz"
+    native_path = "/tmp/bench_native.json"
+    me = os.path.abspath(__file__)
+    for phase in ("warmup", "native", "timed"):
+        for attempt in (1, 2):
+            env = dict(os.environ)
+            if phase == "native":
+                env["JAX_PLATFORMS"] = "cpu"  # no TPU needed
+            r = subprocess.run([sys.executable, me, "--phase", phase,
+                                "--state", state_path,
+                                "--native-out", native_path], env=env)
+            if r.returncode == 0:
+                break
+        else:
+            if phase == "native":
+                continue  # comparator is optional; keep the headline
+            raise SystemExit(f"bench {phase} phase failed twice")
 
 
 if __name__ == "__main__":
@@ -222,10 +299,13 @@ if __name__ == "__main__":
     ap = argparse.ArgumentParser()
     ap.add_argument("--phase", default="all")
     ap.add_argument("--state", default="/tmp/bench_warm_state.npz")
+    ap.add_argument("--native-out", default="/tmp/bench_native.json")
     args = ap.parse_args()
     if args.phase == "warmup":
         warmup_phase(args.state)
+    elif args.phase == "native":
+        native_phase(args.native_out)
     elif args.phase == "timed":
-        timed_phase(args.state)
+        timed_phase(args.state, args.native_out)
     else:
         main()

@@ -69,6 +69,84 @@ def test_fused_chunked_resume():
     assert np.all(np.isfinite(np.asarray(s2)))
 
 
+def test_fused_inloop_warmup_matches_scan():
+    """In-loop megakernel warmup adapts (H, delta) to the same place
+    as the scan driver's adaptation (within stochastic tolerance; the
+    megakernel approximates the exact delta-history quantile with a
+    P2 estimator)."""
+    t = wt.targets.funnel(11)
+    C = 128
+    q0 = 0.1 * jax.random.normal(jax.random.PRNGKey(3), (C, 11),
+                                 jnp.float64)
+    wu = wt.WarmupConfig(warmup_iter=100)
+    h0 = jnp.full((C,), 0.3, jnp.float64)
+    dl0 = jnp.full((C,), 0.3, jnp.float64)
+    s, d, qf, cnt, ng, h_mk, dl_mk, _adapt = run_walnuts_fused(
+        jax.random.PRNGKey(7), q0, h0, dl0, target=t,
+        cfg=wt.WalnutsConfig(m=6), num_iter=100, warmup=wu)
+    _, _, state = wt.run_walnuts(
+        jax.random.PRNGKey(8), q0, target=t, cfg=wt.WalnutsConfig(m=6),
+        warmup=wu, num_iter=100, h0=0.3, delta0=0.3)
+    h_mk = float(np.median(np.asarray(h_mk)))
+    h_sc = float(np.median(np.asarray(state.h)))
+    d_mk = float(np.median(np.asarray(dl_mk)))
+    d_sc = float(np.median(np.asarray(state.delta)))
+    assert abs(np.log(h_mk / h_sc)) < 0.5, (h_mk, h_sc)
+    assert abs(np.log(d_mk / d_sc)) < 0.7, (d_mk, d_sc)
+    # adaptation actually moved the tuning
+    assert abs(np.log(h_mk / 0.3)) > 0.1 or abs(np.log(h_sc / 0.3)) < 0.1
+    # diagnostics record the tuning in cols 15/18
+    d = np.asarray(d)
+    assert np.all(d[..., 18] > 0)
+
+
+def test_fused_pooled_warmup_consensus():
+    """Pooled mode: all chains share one (H, delta) after warmup."""
+    t = wt.targets.std_gauss(8)
+    C = 64
+    q0 = jax.random.normal(jax.random.PRNGKey(0), (C, 8), jnp.float64)
+    wu = wt.WarmupConfig(warmup_iter=60, pooled=True)
+    h0 = jnp.full((C,), 0.4, jnp.float64)
+    dl0 = jnp.full((C,), 0.2, jnp.float64)
+    s, d, qf, cnt, ng, h_f, dl_f, _adapt = run_walnuts_fused(
+        jax.random.PRNGKey(9), q0, h0, dl0, target=t,
+        cfg=wt.WalnutsConfig(m=5), num_iter=60, warmup=wu)
+    h_f, dl_f = np.asarray(h_f), np.asarray(dl_f)
+    assert np.all(np.isfinite(h_f)) and np.all(h_f > 0)
+    assert np.ptp(h_f) / np.median(h_f) < 1e-6   # consensus
+    assert np.ptp(dl_f) / np.median(dl_f) < 1e-6
+
+
+def test_fused_min_per_chain_mode():
+    """min_per_chain: every chain reaches quota, surplus chains keep
+    working (counts >= quota), the stored rectangle is each chain's
+    FIRST num_iter draws (fixed transition count — unbiased), moments
+    correct over the full rectangle."""
+    t = wt.targets.std_gauss(6)
+    C = 64
+    N = 150
+    q0 = jax.random.normal(jax.random.PRNGKey(0), (C, 6), jnp.float64)
+    h = jnp.full((C,), 0.5, jnp.float64)
+    dl = jnp.full((C,), 0.1, jnp.float64)
+    s, d, qf, cnt, ng = run_walnuts_fused(
+        jax.random.PRNGKey(1), q0, h, dl, target=t,
+        cfg=wt.WalnutsConfig(m=5), num_iter=N, stop_mode="min_per_chain")
+    cnt = np.asarray(cnt)
+    assert cnt.min() >= N          # every chain reached quota
+    assert cnt.sum() > C * N       # surplus chains kept drawing
+    x = np.asarray(s)              # [N, C, 6] rectangle, all valid
+    assert np.all(np.isfinite(x))
+    n_eff = x.shape[0] * x.shape[1] / 8
+    assert abs(x.mean()) < 5 / np.sqrt(n_eff)
+    assert abs(x.std() - 1.0) < 5 * np.sqrt(0.5 / n_eff)
+    # per-chain-mode run with the same key stores the identical first
+    # N draws (surplus work must not perturb the stored rectangle)
+    s2, *_ = run_walnuts_fused(
+        jax.random.PRNGKey(1), q0, h, dl, target=t,
+        cfg=wt.WalnutsConfig(m=5), num_iter=N, stop_mode="per_chain")
+    np.testing.assert_allclose(x, np.asarray(s2), atol=1e-12)
+
+
 def test_fused_total_budget_mode():
     """Ring-buffer total-draw budget: all chains stay active, unequal
     counts, correct moments."""

@@ -30,9 +30,28 @@ Phases of the per-chain integrator state machine (R2P protocol,
 
 Orbit-level semantics (selection, sub-U-turn plans, stop codes,
 diagnostics) are identical to :mod:`.streaming` / :mod:`.transition`;
-statistical equivalence is tested.  Tuning is fixed (warm up with the
-scan driver first).  Randomness is keyed by the global round counter
-(same deviation as the streaming driver).
+statistical equivalence is tested.  Tuning is either fixed or adapted
+in-loop (``warmup=``: per-chain P2-based H/delta adaptation with
+optional pooled consensus — one invocation covers warmup + sampling).
+Randomness is keyed by the global round counter (same deviation as the
+streaming driver).
+
+Round-cost design (round 2): profiling the round-1 kernel at
+C=8192, D=101 showed 41% of the 2.1 ms round in the samples/diags
+ring-buffer scatters (run every round though only ~1% of chains
+complete a transition per round) and 27% in [C]-index gathers from
+tiny static schedule tables.  Both are gone:
+
+* the orbit schedule is *computed arithmetically* from the row index
+  ``t`` (``depth = 32 - clz(t)``, pair ids ``2j+1 / 2j+2``, power-of-2
+  first/last tests, mod-2^j span store/check masks) — zero gathers;
+  direction bits live in one ``uint32`` bitmask per chain instead of a
+  ``[C, m]`` float table;
+* completed transitions are staged into two dense ``[C, .]`` pending
+  slots and the expensive scatter runs once every ``_FLUSH_EVERY``
+  rounds under ``lax.cond`` (plus once after the loop).  A chain only
+  stalls when both its slots are pending — requiring a free slot at
+  transition *start* guarantees one at completion.
 """
 
 from functools import partial
@@ -43,11 +62,13 @@ import jax.numpy as jnp
 
 from ..ops.hamiltonian import hamiltonian, refresh_momentum, uturn
 from ..utils.constants import LOG_ZERO, WT_SUM_THRESH
-from .plans import build_schedule
+from ..utils.p2 import P2State, p2_init, p2_push, p2_quantile
+from .driver import WarmupConfig
 from .transition import WalnutsConfig
 
 _BIG_I32 = jnp.int32(2**30)
 FWD, R2P, BWD = 0, 1, 2
+_FLUSH_EVERY = 16  # rounds between ring-buffer scatter flushes
 
 
 class _MState(NamedTuple):
@@ -125,7 +146,7 @@ class _MState(NamedTuple):
     orbit_len_sam: jnp.ndarray
     a_abs: jnp.ndarray
     b_abs: jnp.ndarray
-    xi_all: jnp.ndarray
+    xi_bits: jnp.ndarray      # [C] uint32: doubling-direction bitmask
     depth_done: jnp.ndarray
     stop_code: jnp.ndarray
     both_ends_passive: jnp.ndarray
@@ -151,15 +172,44 @@ class _MState(NamedTuple):
     samples: jnp.ndarray
     diags: jnp.ndarray
     total_grads: jnp.ndarray  # scalar: all gradient evals this run
+    # staged transition outputs awaiting the periodic scatter flush
+    pend0: jnp.ndarray        # [C] bool slot-0 occupied
+    pend1: jnp.ndarray        # [C] bool slot-1 occupied
+    prow0: jnp.ndarray        # [C] int32 destination row
+    prow1: jnp.ndarray
+    pgen0: jnp.ndarray        # [C, dg]
+    pgen1: jnp.ndarray
+    pdiag0: jnp.ndarray       # [24, C] (row-contiguous stack)
+    pdiag1: jnp.ndarray
+    # in-loop warmup adaptation (loop-invariant when warmup is off)
+    h_cur: jnp.ndarray        # [C] current macro step size
+    delta_cur: jnp.ndarray    # [C] current tolerance
+    p2h: P2State              # per-chain log-igrConst quantile
+    p2d: P2State              # per-chain energy-error-factor quantile
 
 
 @partial(jax.jit, static_argnames=("target", "cfg", "num_iter",
-                                   "stop_mode"))
+                                   "stop_mode", "warmup", "ring_rows"))
 def run_walnuts_fused(key, q0, h_step, delta, *, target,
                       cfg: WalnutsConfig, num_iter: int,
-                      stop_mode: str = "per_chain"):
-    """Stream fixed-tuning WALNUTS-R2P transitions with one batched
-    micro step per round.
+                      stop_mode: str = "per_chain",
+                      warmup: WarmupConfig = None,
+                      ring_rows: int = None,
+                      adapt_state=None):
+    """Stream WALNUTS-R2P transitions with one batched micro step per
+    round.
+
+    ``warmup``: when given, ``h_step``/``delta`` are *initial* values
+    and each chain adapts both in-loop for its first
+    ``warmup.warmup_iter`` transitions, with the scan driver's rules
+    (``WALNUTSpy/WALNUTS.py:701-713``): the macro step from a P2
+    quantile of ``log igrConst`` pushed at every accepted macro step,
+    the tolerance from a P2 quantile of the per-transition
+    energy-error inflation factor (the scan driver keeps the exact
+    history quantile; P2 approximates it so the carry stays O(1) per
+    chain).  ``warmup.pooled`` applies a batch-median consensus at
+    every flush boundary.  The call then also returns the final
+    per-chain ``(h, delta)``.
 
     ``stop_mode``:
 
@@ -170,12 +220,26 @@ def run_walnuts_fused(key, q0, h_step, delta, *, target,
     * ``"total"`` — run until ``C * num_iter`` draws exist in total;
       each chain's buffer is a ring holding its most recent
       ``num_iter`` draws and no chain ever idles (utilisation stays
-      ~100% to the end).  Chains contribute unequal draw counts —
-      fine for stationary-phase sampling; the returned per-chain
-      counts let the caller truncate to a rectangle if needed.
+      ~100% to the end).  Chains contribute unequal draw counts.
+      CAUTION: a chain's draw count under a fixed *round* budget is a
+      path-dependent stopping time (slow = deep-in-the-funnel chains
+      produce fewer draws), so pooling the draws count-weighted is
+      length-biased — use for throughput probes, not posterior
+      estimates.
+    * ``"min_per_chain"`` — run until EVERY chain has ``num_iter``
+      draws, but chains that reach quota keep transitioning (no idle
+      tail; all work counted).  The ring stores each chain's *first*
+      ``num_iter`` draws: a fixed transition count per chain, so the
+      returned rectangle is an unbiased equal-weight sample.  This is
+      the mode for timed runs whose draws feed estimates.
 
-    Returns ``(samples [num_iter, C, dg], diagnostics
-    [num_iter, C, 24], q_final [C, D], counts [C])``.
+    Returns ``(samples [R, C, dg], diagnostics [R, C, 24],
+    q_final [C, D], counts [C], total_grads)`` (plus ``(h, delta)``
+    when ``warmup`` is given), where ``R = ring_rows or num_iter``:
+    each chain's buffer is a ring over ``it % R`` holding its most
+    recent draws.  Pass a small ``ring_rows`` for adaptation-only runs
+    (a multi-GB carried output ring is wasted memory and a known
+    TPU-tunnel hazard, ROUND1_NOTES).
     """
     C, D = q0.shape
     dtype = q0.dtype
@@ -185,46 +249,19 @@ def run_walnuts_fused(key, q0, h_step, delta, *, target,
     p0 = cfg.igr.r2p_prob0
     lp_c = jnp.log(jnp.asarray(p0, dtype))
     lp_f = jnp.log(jnp.asarray(1.0 - p0, dtype))
-    sched = build_schedule(m)
-    T = sched.n_steps
+    # Flat row layout (plans.build_schedule, now computed in closed
+    # form): row 0 is the depth-0 single macro step; depth d >= 1
+    # occupies rows [2^(d-1), 2^d) with pair j integrating relative
+    # states (2j+1, 2j+2) of the new subtree.  Total rows T = 2^(m-1).
+    T = 2 ** (m - 1)
     # the slab stores only span-start states, indexed by span LEVEL
     # (log2 span size, levels 2..m-1): at most m-2 live at once
     S = max(m - 2, 1)
     dg = target.generated_dim
-
-    tab = {
-        name: jnp.asarray(getattr(sched, name))
-        for name in ("depth", "rel1", "rel2",
-                     "last_of_depth", "is_depth0")
-    }
-    first_of_depth = jnp.asarray(
-        [True] + [bool(sched.depth[i] != sched.depth[i - 1])
-                  for i in range(1, T)])
-    import numpy as _np
-
-    # store mask: the pair's FIRST state (rel1) opens spans at every
-    # level j >= 2 with rel1 == 1 (mod 2^j); check mask: the SECOND
-    # state (rel2) closes spans at every level j >= 2 with
-    # rel2 == 0 (mod 2^j) within its depth's subtree
-    _store = _np.zeros((T, S), bool)
-    _check = _np.zeros((T, S), bool)
-    for _t in range(T):
-        d_t = int(sched.depth[_t])
-        if d_t < 2:
-            continue
-        r1, r2 = int(sched.rel1[_t]), int(sched.rel2[_t])
-        for j in range(2, d_t + 1):
-            if r1 % (1 << j) == 1:
-                _store[_t, j - 2] = True
-            if r2 % (1 << j) == 0 and r2 >= (1 << j):
-                _check[_t, j - 2] = True
-    store_mask_tab = jnp.asarray(_store)
-    check_slots = jnp.asarray(_check)
-    _last_idx = _np.zeros(T, _np.int32)
-    for _d in range(m):
-        _rows = _np.where(sched.depth == _d)[0]
-        _last_idx[_rows] = _rows[-1]
-    last_idx_of_depth = jnp.asarray(_last_idx)
+    R = num_iter if ring_rows is None else ring_rows
+    # span levels serviced by the slab: j = 2 .. S+1
+    jlev = jnp.arange(2, S + 2, dtype=jnp.int32)          # [S]
+    pw_lev = jnp.left_shift(1, jlev)                      # [S]
 
     lp0, g0 = target.logp_grad(q0)
 
@@ -257,7 +294,7 @@ def run_walnuts_fused(key, q0, h_step, delta, *, target,
         sel_l=zi, sel_l_old=zi,
         idx_time=zf, index_stat=zf, index_stat_old=zf,
         time_f=zf, time_b=zf, orbit_len=zf, orbit_len_sam=zf,
-        a_abs=zi, b_abs=zi, xi_all=jnp.ones((C, m), dtype),
+        a_abs=zi, b_abs=zi, xi_bits=jnp.zeros((C,), jnp.uint32),
         depth_done=zb, stop_code=zi, both_ends_passive=zb,
         n_doubl_sampled=zi, n_doubl_computed=zi,
         max_f_int=zi, max_b_int=zi,
@@ -270,10 +307,23 @@ def run_walnuts_fused(key, q0, h_step, delta, *, target,
         n_states=zi, n_if_neq_ib=zi, n_if_zero=zi,
         slab_q=jnp.zeros((C, S, D), dtype),
         slab_v=jnp.zeros((C, S, D), dtype),
-        samples=jnp.zeros((num_iter, C, dg), dtype),
-        diags=jnp.zeros((num_iter, C, 24), dtype),
+        samples=jnp.zeros((R, C, dg), dtype),
+        diags=jnp.zeros((R, C, 24), dtype),
         total_grads=jnp.zeros((), jnp.int64 if
                               jax.config.jax_enable_x64 else jnp.int32),
+        pend0=zb, pend1=zb, prow0=zi, prow1=zi,
+        pgen0=jnp.zeros((C, dg), dtype),
+        pgen1=jnp.zeros((C, dg), dtype),
+        pdiag0=jnp.zeros((24, C), dtype),
+        pdiag1=jnp.zeros((24, C), dtype),
+        h_cur=jnp.broadcast_to(jnp.asarray(h_step, dtype), (C,)),
+        delta_cur=jnp.broadcast_to(jnp.asarray(delta, dtype), (C,)),
+        p2h=(adapt_state[0] if adapt_state is not None else
+             p2_init(1.0 - (warmup.adapt_h_target if warmup else 0.8),
+                     (C,), dtype)),
+        p2d=(adapt_state[1] if adapt_state is not None else
+             p2_init(warmup.adapt_delta_quantile if warmup else 0.9,
+                     (C,), dtype)),
     )
     # start: every chain needs fresh-init; mark by t=0 & a sentinel so
     # the first round initialises before integrating
@@ -288,7 +338,7 @@ def run_walnuts_fused(key, q0, h_step, delta, *, target,
 
     def body(st):
         n = st.n
-        if stop_mode == "total":
+        if stop_mode in ("total", "min_per_chain"):
             live = jnp.ones((C,), bool)
         else:
             live = st.it < num_iter
@@ -297,13 +347,19 @@ def run_walnuts_fused(key, q0, h_step, delta, *, target,
 
         # ------------------------------------------------------------
         # A. fresh-transition init for chains flagged k == -1 & t == 0
+        #    (a chain with both pending slots occupied stalls here
+        #    until the next flush, so a completing transition is
+        #    always guaranteed a free slot)
         # ------------------------------------------------------------
-        fresh = live & (st.k < 0) & (st.t == 0)
+        needs_fresh = (st.k < 0) & (st.t == 0)
+        stall = st.pend0 & st.pend1
+        if stop_mode == "min_per_chain":
+            # surplus chains (past quota) don't store, so never stall
+            stall = stall & (st.it < num_iter)
+        fresh = live & needs_fresh & ~stall
         v0 = refresh_momentum(k_mom, (C, D), None, dtype)
         h0f = hamiltonian(st.lpc, v0)
-        xi_new = jnp.where(
-            jax.random.bernoulli(k_dirs, 0.5, (C, m)), 1.0, -1.0
-        ).astype(dtype)
+        xi_new = jax.random.bits(k_dirs, (C,), jnp.uint32)
         f1 = fresh[:, None]
         st = st._replace(
             qp=jnp.where(f1, st.qc, st.qp), vp=jnp.where(f1, v0, st.vp),
@@ -336,7 +392,7 @@ def run_walnuts_fused(key, q0, h_step, delta, *, target,
             orbit_len_sam=jnp.where(fresh, 0.0, st.orbit_len_sam),
             a_abs=jnp.where(fresh, 0, st.a_abs),
             b_abs=jnp.where(fresh, 0, st.b_abs),
-            xi_all=jnp.where(f1, xi_new, st.xi_all),
+            xi_bits=jnp.where(fresh, xi_new, st.xi_bits),
             depth_done=jnp.where(fresh, False, st.depth_done),
             stop_code=jnp.where(fresh, 0, st.stop_code),
             both_ends_passive=jnp.where(fresh, False,
@@ -361,14 +417,21 @@ def run_walnuts_fused(key, q0, h_step, delta, *, target,
             second=jnp.where(fresh, False, st.second),
         )
 
-        # per-chain schedule row
+        # per-chain schedule row, in closed form (no gathers): depth d
+        # occupies rows [2^(d-1), 2^d) so depth = 32 - clz(t), depth
+        # starts are exactly the powers of two, and pair j of a depth
+        # integrates relative states (2j+1, 2j+2)
         t = st.t
-        depth_t = tab["depth"][t]
-        is_d0 = tab["is_depth0"][t]
-        last = tab["last_of_depth"][t]
-        first = first_of_depth[t]
-        xi = jnp.take_along_axis(st.xi_all, depth_t[:, None], 1)[:, 0]
-        fwd_dir = xi > 0
+        depth_t = 32 - jax.lax.clz(t)
+        is_d0 = t == 0
+        pw_d = jnp.left_shift(1, depth_t)
+        last = t == pw_d - 1
+        first = (t & (t - 1)) == 0
+        j_pair = t - jnp.left_shift(1, jnp.maximum(depth_t - 1, 0))
+        rel1_t = jnp.where(is_d0, 1, 2 * j_pair + 1)
+        rel2_t = jnp.where(is_d0, 0, 2 * j_pair + 2)
+        fwd_dir = (jnp.right_shift(
+            st.xi_bits, depth_t.astype(jnp.uint32)) & 1).astype(bool)
 
         # depth-start snapshot (once, on the row's first macro start)
         snap = (live & first & ~is_d0 & (st.k < 0) & ~st.second
@@ -390,9 +453,9 @@ def run_walnuts_fused(key, q0, h_step, delta, *, target,
         #    step, the coarse draw, and the trial start state
         # ------------------------------------------------------------
         idle = st.depth_done  # no integration while the suborbit is dead
-        starting = live & (st.k < 0) & ~idle
+        starting = live & (st.k < 0) & ~idle & ~(needs_fresh & stall)
         s_sc = cfg.step_size_rand_scale
-        h_draw = h_step * jax.random.uniform(k_h, (C,), dtype,
+        h_draw = st.h_cur * jax.random.uniform(k_h, (C,), dtype,
                                              1.0 - s_sc, 1.0 + s_sc)
         co_draw = jax.random.uniform(k_co, (C,), dtype) < p0
         # integration starts from the travel-direction endpoint
@@ -459,7 +522,7 @@ def run_walnuts_fused(key, q0, h_step, delta, *, target,
         # ------------------------------------------------------------
         t_done = integ & (st.k >= n_steps_cur)
         t_fin = st.fint > 0.5
-        err_ok = t_fin & (jnp.abs(st.h0s - st.ht) < delta)
+        err_ok = t_fin & (jnp.abs(st.h0s - st.ht) < st.delta_cur)
 
         # -- FWD completions
         f_done = t_done & (st.phase == FWD)
@@ -498,7 +561,7 @@ def run_walnuts_fused(key, q0, h_step, delta, *, target,
 
         # -- BWD completions (reference energy = the flipped endpoint's)
         b_done = t_done & (st.phase == BWD)
-        b_err_ok = t_fin & (jnp.abs(st.ha - st.ht) < delta)
+        b_err_ok = t_fin & (jnp.abs(st.ha - st.ht) < st.delta_cur)
         max_try = jnp.where(st.coarse, st.i_f - 1, max_c)
         b_found = b_done & b_err_ok
         b_next = b_done & ~b_err_ok & (st.c_cur < max_try)
@@ -567,7 +630,7 @@ def run_walnuts_fused(key, q0, h_step, delta, *, target,
         v_orb = jnp.where(fwd_dir[:, None], st.va, -st.va)
         af = ok & fwd_dir
         ab = ok & ~fwd_dir
-        rel = jnp.where(st.second, tab["rel2"][t], tab["rel1"][t])
+        rel = jnp.where(st.second, rel2_t, rel1_t)
         abs_id = jnp.where(fwd_dir, st.b_abs + rel, st.a_abs - rel)
 
         igr = (st.h_loc / jnp.exp2(st.c_sim.astype(dtype))) \
@@ -587,8 +650,16 @@ def run_walnuts_fused(key, q0, h_step, delta, *, target,
         signed_time = jnp.where(fwd_dir, time_f2, -time_b2)
         olen_mask = jnp.where(is_d0, md, ok)
 
-        # multi-hot span-level store mask for the pair's first member
-        store_lvls = store_mask_tab[t] & (ok & ~st.second)[:, None]
+        # multi-hot span-level store mask for the pair's first member:
+        # level j >= 2 opens at rel1 == 1 (mod 2^j); closes (check) at
+        # rel2 == 0 (mod 2^j) with rel2 >= 2^j, within the depth
+        lev_ok = jlev[None, :] <= depth_t[:, None]            # [C,S]
+        store_lvl = lev_ok & (
+            (rel1_t[:, None] & (pw_lev - 1)[None, :]) == 1)
+        check_lvl = lev_ok & (
+            (rel2_t[:, None] & (pw_lev - 1)[None, :]) == 0) & (
+            rel2_t[:, None] >= pw_lev[None, :])
+        store_lvls = store_lvl & (ok & ~st.second)[:, None]
         sel1 = sel[:, None]
         st = st._replace(
             qp=jnp.where(af[:, None], st.qa, st.qp),
@@ -639,6 +710,14 @@ def run_walnuts_fused(key, q0, h_step, delta, *, target,
                              v_orb[:, None, :], st.slab_v),
         )
 
+        if warmup is not None and warmup.adapt_h:
+            # every finite completed macro step feeds the step-size
+            # model during warmup (transition.py pushes with the same
+            # cadence; WALNUTS.py:139-141,313)
+            in_wu_m = st.it < warmup.warmup_iter
+            st = st._replace(p2h=p2_push(
+                st.p2h, jnp.log(igr), mask=md & finite_m & in_wu_m))
+
         forced = md & ~finite_m
 
         # ---- pair / row sequencing --------------------------------
@@ -666,7 +745,7 @@ def run_walnuts_fused(key, q0, h_step, delta, *, target,
         adj_ut = uturn(eq, ev, lq, lv)
 
         # fused merge checks against span-start slab states
-        lvl_mask = check_slots[t]
+        lvl_mask = check_lvl
         d_f = st.qa[:, None, :] - st.slab_q
         dot_new = jnp.sum(v_orb[:, None, :] * d_f, axis=-1)
         dot_old = jnp.sum(st.slab_v * d_f, axis=-1)
@@ -755,23 +834,60 @@ def run_walnuts_fused(key, q0, h_step, delta, *, target,
             st.both_ends_passive.astype(dtype),
             either_passive.astype(dtype),
             st.n_if_neq_ib.astype(dtype) / nst_,
-            h_step,
+            st.h_cur,
             st.n_if_zero.astype(dtype) / nst_,
             st.h_max - st.h_min,
-            delta,
+            st.delta_cur,
             st.stop_code.astype(dtype),
             st.n_doubl_computed.astype(dtype),
             st.c_min_d.astype(dtype), st.c_max_d.astype(dtype),
             st.index_stat,
-        ], axis=-1)
-        ar = jnp.arange(C)
-        if stop_mode == "total":
-            row = jnp.where(done, st.it % num_iter, num_iter)
-        else:
-            row = jnp.where(done, st.it, num_iter)
+        ], axis=0)  # [24, C]: row-contiguous (a [C, 24] stack pays a
+        #            strided-tile write every round; transpose once
+        #            per flush instead)
+        # stage completed transitions into a free pending slot; the
+        # ring-buffer scatters run only on flush rounds (the scatter
+        # costs ~40% of a round if issued every round, yet only ~1% of
+        # chains complete per round)
+        row = st.it % R
         gen = target.generated(st.q_prop)
-        samples = st.samples.at[row, ar].set(gen, mode="drop")
-        diags = st.diags.at[row, ar].set(diag_row, mode="drop")
+        store = done
+        if stop_mode == "min_per_chain":
+            store = done & (st.it < num_iter)   # first-K draws only
+        use0 = store & ~st.pend0
+        use1 = store & st.pend0          # slot 1 free by construction
+        pend0 = st.pend0 | use0
+        pend1 = st.pend1 | use1
+        prow0 = jnp.where(use0, row, st.prow0)
+        prow1 = jnp.where(use1, row, st.prow1)
+        pgen0 = jnp.where(use0[:, None], gen, st.pgen0)
+        pgen1 = jnp.where(use1[:, None], gen, st.pgen1)
+        pdiag0 = jnp.where(use0[None, :], diag_row, st.pdiag0)
+        pdiag1 = jnp.where(use1[None, :], diag_row, st.pdiag1)
+
+        if warmup is not None:
+            # per-chain tuning update at transition completion, after
+            # the diagnostics row is latched (the reference records the
+            # row before adapting, WALNUTS.py:670-713)
+            adone = done & (st.it < warmup.warmup_iter)
+            if warmup.adapt_delta:
+                fac = (st.h_max - st.h_min) / st.delta_cur
+                p2d = p2_push(st.p2d, fac, mask=adone)
+                st = st._replace(p2d=p2d)
+                # in pooled mode the tuning moves only at consensus
+                # flushes, so every chain carries one (H, delta)
+                if not warmup.pooled:
+                    dq = p2_quantile(p2d)
+                    st = st._replace(delta_cur=jnp.where(
+                        adone & (p2d.npush > 10) & (dq > 0),
+                        warmup.adapt_delta_target / dq, st.delta_cur))
+            if warmup.adapt_h and not warmup.pooled:
+                h_new = st.delta_cur ** (1.0 / 3.0) * jnp.exp(
+                    p2_quantile(st.p2h))
+                st = st._replace(h_cur=jnp.where(
+                    adone & (st.p2h.npush > 10), h_new, st.h_cur))
+
+        samples, diags = st.samples, st.diags
 
         # ---- advance t / it ----------------------------------------
         # chains advancing to a new row (or same row's pair-second keep
@@ -780,7 +896,7 @@ def run_walnuts_fused(key, q0, h_step, delta, *, target,
             | (p_mask & ~done & ~su) | (su & False)
         t_next = jnp.where(
             st.depth_done & ~last & (row_done | jump),
-            last_idx_of_depth[st.t],
+            pw_d - 1,
             st.t + 1)
         new_t = jnp.where(done | ~live, 0,
                           jnp.where(row_done | jump, t_next, st.t))
@@ -794,10 +910,63 @@ def run_walnuts_fused(key, q0, h_step, delta, *, target,
             lpc=jnp.where(done, st.lp_prop, st.lpc),
             gc=jnp.where(d1, st.g_prop, st.gc),
             samples=samples, diags=diags,
+            pend0=pend0, pend1=pend1,
+            prow0=prow0, prow1=prow1,
+            pgen0=pgen0, pgen1=pgen1,
+            pdiag0=pdiag0, pdiag1=pdiag1,
             second=jnp.where(row_done | done | jump, False, st.second),
             k=jnp.where(row_done | done | jump, -1, st.k),
         )
         return st
 
-    st = jax.lax.while_loop(cond, body, st)
+    def flush(st):
+        """Drain both pending slots into the output rings with a
+        dense one-hot masked write (a TPU scatter at [C] row indices
+        costs ~0.5 ms; this fuses and streams at HBM bandwidth)."""
+        rows = jnp.arange(R, dtype=jnp.int32)
+        oh0 = st.pend0[None, :] & (st.prow0[None, :] == rows[:, None])
+        oh1 = st.pend1[None, :] & (st.prow1[None, :] == rows[:, None])
+        samples = jnp.where(oh0[:, :, None], st.pgen0[None], st.samples)
+        diags = jnp.where(oh0[:, :, None], st.pdiag0.T[None], st.diags)
+        samples = jnp.where(oh1[:, :, None], st.pgen1[None], samples)
+        diags = jnp.where(oh1[:, :, None], st.pdiag1.T[None], diags)
+        zb_ = jnp.zeros_like(st.pend0)
+        st = st._replace(samples=samples, diags=diags,
+                         pend0=zb_, pend1=zb_)
+        if warmup is not None and warmup.pooled:
+            # batch-median consensus once per flush period (the scan
+            # driver pools every iteration; at the megakernel's round
+            # granularity the flush boundary is the natural cadence).
+            # Pooled warmup is batch-scoped: consensus applies until
+            # EVERY chain completed warmup_iter transitions, so all
+            # chains end warmup with the identical (H, delta) the scan
+            # driver's lockstep pooling produces.
+            in_wu = jnp.min(st.it) < warmup.warmup_iter
+            if warmup.adapt_delta:
+                dqs = p2_quantile(st.p2d)
+                med = jnp.nanmedian(jnp.where(
+                    st.p2d.npush > 10, dqs, jnp.nan))
+                st = st._replace(delta_cur=jnp.where(
+                    in_wu & jnp.isfinite(med) & (med > 0),
+                    warmup.adapt_delta_target / med, st.delta_cur))
+            if warmup.adapt_h:
+                med = jnp.nanmedian(jnp.where(
+                    st.p2h.npush > 10, p2_quantile(st.p2h), jnp.nan))
+                st = st._replace(h_cur=jnp.where(
+                    in_wu & jnp.isfinite(med),
+                    st.delta_cur ** (1.0 / 3.0) * jnp.exp(med),
+                    st.h_cur))
+        return st
+
+    def outer_body(st):
+        st = jax.lax.fori_loop(0, _FLUSH_EVERY, lambda i, s: body(s),
+                               st)
+        return flush(st)
+
+    # termination is checked once per flush period; the <=15 extra
+    # rounds of overshoot only add draws (ring semantics unchanged)
+    st = jax.lax.while_loop(cond, outer_body, st)
+    if warmup is not None:
+        return (st.samples, st.diags, st.qc, st.it, st.total_grads,
+                st.h_cur, st.delta_cur, (st.p2h, st.p2d))
     return st.samples, st.diags, st.qc, st.it, st.total_grads

@@ -86,7 +86,7 @@ def mod_funnel() -> Target:
     return Target(logp, 2, name="mod_funnel")
 
 
-def funnel(dim: int, scale: float = 3.0) -> Target:
+def funnel(dim: int, scale: float = 3.0, generated=None) -> Target:
     """Neal's funnel in ``dim`` dimensions.
 
     ``q[0] = omega ~ N(0, scale^2)``; ``q[1:] | omega ~ N(0, e^omega)``.
@@ -94,6 +94,10 @@ def funnel(dim: int, scale: float = 3.0) -> Target:
     (``targetDistr.py:74-78``); the exact ``omega`` marginal is the
     validation invariant used by the funnel acceptance suite
     (``WALNUTSpy_examples/funnel/plotsFunnel.py:49``).
+
+    ``generated``: optional stored-sample transform (reference:
+    the ``generated`` argument of ``WALNUTS.py:111``) — e.g. keep only
+    ``(omega, sum x^2)`` summaries on long runs.
     """
     k = dim - 1
 
@@ -121,7 +125,8 @@ def funnel(dim: int, scale: float = 3.0) -> Target:
         gx = -x * e[..., None]
         return lp, jnp.concatenate([gw[..., None], gx], axis=-1)
 
-    return Target(logp, dim, name=f"funnel_{dim}", logp_grad=logp_grad)
+    return Target(logp, dim, name=f"funnel_{dim}", logp_grad=logp_grad,
+                  generated=generated)
 
 
 def funnel_rescaled(dim: int, scale: float = 3.0) -> Target:
