@@ -8,7 +8,8 @@ import pytest
 
 import walnuts_tpu as wt
 from walnuts_tpu.diagnostics import ess, rhat, split_rhat, qq_normal
-from walnuts_tpu.parallel import make_mesh, shard_chains
+from walnuts_tpu.parallel import (make_mesh, make_mesh2, shard_chains,
+                                  shard_chains_dim)
 
 
 def test_ess_iid_draws():
@@ -93,6 +94,30 @@ def test_mesh_sharded_transition_matches_single_device():
                                warmup=wu, num_iter=10, h0=0.5, delta0=0.1)
     np.testing.assert_allclose(np.asarray(s1), np.asarray(s2), atol=1e-12)
     np.testing.assert_allclose(np.asarray(d1), np.asarray(d2), atol=1e-12)
+
+
+def test_mesh2_dim_sharded_matches_single_device():
+    """Tensor-parallel axis (SURVEY §2.6 TP row): ``[C, D]`` state laid
+    out on a 2-D ``('chains','dim')`` mesh.  GSPMD turns the hot loop's
+    D-reductions (kinetic energies, U-turn inner products) into psums
+    over the ``dim`` axis; results must match the unsharded run up to
+    reduction-order roundoff."""
+    t = wt.targets.std_gauss(8)
+    q0 = jax.random.normal(jax.random.PRNGKey(0), (8, 8), jnp.float64)
+    cfg = wt.WalnutsConfig(m=4)
+    wu = wt.WarmupConfig(warmup_iter=5)
+
+    s1, d1, _ = wt.run_walnuts(jax.random.PRNGKey(1), q0, target=t, cfg=cfg,
+                               warmup=wu, num_iter=10, h0=0.5, delta0=0.1)
+
+    mesh = make_mesh2(4, 2)
+    q0s = shard_chains_dim(q0, mesh)
+    s2, d2, _ = wt.run_walnuts(jax.random.PRNGKey(1), q0s, target=t, cfg=cfg,
+                               warmup=wu, num_iter=10, h0=0.5, delta0=0.1)
+    np.testing.assert_allclose(np.asarray(s1), np.asarray(s2),
+                               rtol=1e-8, atol=1e-8)
+    np.testing.assert_allclose(np.asarray(d1), np.asarray(d2),
+                               rtol=1e-8, atol=1e-8)
 
 
 def test_graft_entry_compiles():

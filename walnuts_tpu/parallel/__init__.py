@@ -13,7 +13,9 @@ appear only in
 
 from .mesh import (
     make_mesh,
+    make_mesh2,
     shard_chains,
+    shard_chains_dim,
     shard_sampler_state,
     replicate,
     distributed_init,
@@ -21,7 +23,9 @@ from .mesh import (
 
 __all__ = [
     "make_mesh",
+    "make_mesh2",
     "shard_chains",
+    "shard_chains_dim",
     "shard_sampler_state",
     "replicate",
     "distributed_init",

@@ -41,6 +41,45 @@ def make_mesh(n_devices: Optional[int] = None, axis: str = "chains") -> Mesh:
     return Mesh(np.asarray(devs), (axis,))
 
 
+def make_mesh2(n_chain: int, n_dim: int,
+               axes=("chains", "dim")) -> Mesh:
+    """A 2-D ``(chains, dim)`` mesh: chains data-parallel AND the
+    parameter dimension tensor-parallel (SURVEY §2.6 TP row).
+
+    With ``[C, D]`` state placed as ``P('chains', 'dim')``, XLA's SPMD
+    partitioner turns every D-reduction in the hot loop — the kinetic
+    energies ``sum(v*v)`` and the U-turn inner products
+    ``sum(v*(qp-qm))`` — into ``psum`` collectives over the ``dim``
+    axis, which is the explicit comm structure the reference never
+    had.  Worth it only for D >> 1e4 targets where a chain's state
+    no longer fits comfortably per device.
+    """
+    devs = jax.devices()
+    need = n_chain * n_dim
+    if need > len(devs):
+        raise ValueError(f"requested {need} devices, have {len(devs)}")
+    import numpy as np
+
+    return Mesh(np.asarray(devs[:need]).reshape(n_chain, n_dim), axes)
+
+
+def shard_chains_dim(x, mesh: Mesh, axes=("chains", "dim")):
+    """Place ``[C, D]``-shaped leaves as ``P(chains, dim)`` (both axes
+    sharded); ``[C]`` leaves chain-sharded; scalars replicated."""
+
+    def _put(leaf):
+        leaf = jnp.asarray(leaf)
+        if leaf.ndim == 0:
+            return jax.device_put(leaf, NamedSharding(mesh, P()))
+        if leaf.ndim == 1:
+            return jax.device_put(
+                leaf, NamedSharding(mesh, P(axes[0])))
+        spec = P(axes[0], *([None] * (leaf.ndim - 2)), axes[1])
+        return jax.device_put(leaf, NamedSharding(mesh, spec))
+
+    return jax.tree.map(_put, x)
+
+
 def shard_chains(x, mesh: Mesh, axis: str = "chains"):
     """Place an array (or pytree) with its leading axis sharded over the
     mesh; scalars and rank-0 leaves are replicated."""
