@@ -3,19 +3,33 @@ vs dimension on the iid standard normal.
 
 Regenerates the reference experiment
 ``WALNUTSpy_examples/gaussian/mainGaussESS.py:20-89`` /
-``plotsGaussESS.py:67-78``: for ``d = 2^8 .. 2^dmax``, run WALNUTS
-(R2P and D) and multinomial NUTS (fixed leapfrog) at
-``H = 1.4 d^{-1/4}``, and record ``1000 * ess / grad_evals`` for
-``q[0]`` and ``sum(q^2)``, against the theory guide ``ESS/grad ~
-d^{-1/4}``.  The reference runs 10 sequential repetitions; here the
-chain batch IS the repetition axis.
+``plotsGaussESS.py:67-78``: for ``d = 2^8 .. 2^dmax`` (reference goes
+to 2^18), run WALNUTS (R2P and D) and multinomial NUTS (fixed
+leapfrog) at ``H = 1.4 d^{-1/4}``, and record ``1000 * ess /
+grad_evals`` for ``q[0]`` and ``sum(q^2)``, against the theory guide
+``ESS/grad ~ d^{-1/4}``.  The reference runs 10 sequential
+repetitions; here the chain batch IS the repetition axis.
 
-Usage: python examples/gaussian_ess.py [--dmax 12] [--chains 64]
+TPU-scale engineering (round-2 fixes for the round-1 corrupt output):
+
+* every ``(d, integrator)`` program runs in its OWN subprocess with a
+  retry — back-to-back large compiles in one process intermittently
+  fault the TPU tunnel (ROUND1_NOTES);
+* samples are stored as generated quantities ``[q_0, sum(q^2)]``
+  (dim 2), never the full ``[iters, C, d]`` position history, which
+  at d = 2^18 would be tens of GB;
+* the chain batch shrinks at large ``d`` so the orbit state slab
+  stays inside HBM;
+* the output JSON is written atomically (tmp + rename) after EVERY
+  completed row, so a mid-sweep crash leaves a valid partial file.
+
+Usage: python examples/gaussian_ess.py [--dmax 18] [--chains 64]
 """
 
 import argparse
 import json
 import os
+import subprocess
 import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
@@ -23,64 +37,110 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 
+INTEGRATORS = [("adapt_leapfrog_r2p", "walnuts_r2p"),
+               ("adapt_leapfrog_d", "walnuts_d"),
+               ("fixed_leapfrog", "nuts")]
 
-def main():
-    ap = argparse.ArgumentParser()
-    ap.add_argument("--dmax", type=int, default=12)
-    ap.add_argument("--chains", type=int, default=64)
-    ap.add_argument("--iters", type=int, default=1000)
-    ap.add_argument("--out", default="examples/out_gaussian_ess.json")
-    args = ap.parse_args()
 
+def atomic_dump(obj, path):
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(obj, f, indent=1, default=float)
+    os.replace(tmp, path)
+
+
+def chains_for(d, chains):
+    # keep the 2(M+1)+1-slot state slab under ~1 GB at the top dims
+    return max(8, min(chains, (1 << 22) // d))
+
+
+def run_one(log2d, integ, chains, iters, out_path):
+    """One (dimension, integrator) program in this process."""
     import jax
     import jax.numpy as jnp
 
     import walnuts_tpu as wt
     from walnuts_tpu.diagnostics import ess
 
+    d = 2**log2d
+    h = 1.4 * d**-0.25  # mainGaussESS.py:34
+    C = chains_for(d, chains)
+    base = wt.targets.std_gauss(d)
+    t = wt.targets.Target(
+        logp=base._logp, dim=d, name=f"std_gauss{d}",
+        generated=lambda q: jnp.stack(
+            [q[..., 0], jnp.sum(q * q, axis=-1)], axis=-1),
+        logp_grad=base.logp_grad)
+    q0 = jax.random.normal(jax.random.PRNGKey(log2d), (C, d),
+                           jnp.float32)
+    hh = h if integ != "fixed_leapfrog" else h / 4
+    cfg = wt.WalnutsConfig(m=10, integrator=integ)
+    wu = wt.WarmupConfig(warmup_iter=0, adapt_h=False,
+                         adapt_delta=False)
+    samples, diags, _ = wt.run_walnuts(
+        jax.random.PRNGKey(100 + log2d), q0, target=t, cfg=cfg,
+        warmup=wu, num_iter=iters, h0=hh, delta0=0.3)
+    s = np.asarray(samples[1:], np.float64)
+    dg = np.asarray(diags)
+    nev = dg[..., 6].sum() + dg[..., 7].sum()
+    e_q0 = float(np.asarray(ess(jnp.asarray(s[..., 0]))))
+    e_sq = float(np.asarray(ess(jnp.asarray(s[..., 1]))))
+    atomic_dump({
+        "chains": C,
+        "ess_per_1000_grad_q0": 1000.0 * e_q0 / nev,
+        "ess_per_1000_grad_sumsq": 1000.0 * e_sq / nev,
+        "grad_evals": float(nev),
+    }, out_path)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--dmax", type=int, default=18)
+    ap.add_argument("--dmin", type=int, default=8)
+    ap.add_argument("--chains", type=int, default=64)
+    ap.add_argument("--iters", type=int, default=1000)
+    ap.add_argument("--out", default="examples/out_gaussian_ess.json")
+    # internal single-program mode
+    ap.add_argument("--one", default=None,
+                    help="log2d:integrator (subprocess mode)")
+    ap.add_argument("--frag", default=None)
+    args = ap.parse_args()
+
+    if args.one is not None:
+        log2d, integ = args.one.split(":")
+        run_one(int(log2d), integ, args.chains, args.iters, args.frag)
+        return
+
+    me = os.path.abspath(__file__)
     results = []
-    for log2d in range(8, args.dmax + 1):
-        d = 2**log2d
-        h = 1.4 * d**-0.25  # mainGaussESS.py:34
-        t = wt.targets.std_gauss(d)
-        q0 = jax.random.normal(jax.random.PRNGKey(log2d),
-                               (args.chains, d), jnp.float32)
-        row = {"d": d, "H": h}
-        for integ, tag in [("adapt_leapfrog_r2p", "walnuts_r2p"),
-                           ("adapt_leapfrog_d", "walnuts_d"),
-                           ("fixed_leapfrog", "nuts")]:
-            hh = h if integ != "fixed_leapfrog" else 1.4 * d**-0.25 / 4
-            cfg = wt.WalnutsConfig(m=10, integrator=integ)
-            wu = wt.WarmupConfig(warmup_iter=0, adapt_h=False,
-                                 adapt_delta=False)
-            samples, diags, _ = wt.run_walnuts(
-                jax.random.PRNGKey(100 + log2d), q0, target=t, cfg=cfg,
-                warmup=wu, num_iter=args.iters, h0=hh, delta0=0.3)
-            s = np.asarray(samples[1:], np.float64)
-            dg = np.asarray(diags)
-            nev = dg[..., 6].sum() + dg[..., 7].sum()
-            e_q0 = float(np.asarray(ess(jnp.asarray(s[..., 0]))))
-            sq = (s**2).sum(-1)
-            e_sq = float(np.asarray(ess(jnp.asarray(sq))))
-            row[tag] = {
-                "ess_per_1000_grad_q0": 1000.0 * e_q0 / nev,
-                "ess_per_1000_grad_sumsq": 1000.0 * e_sq / nev,
-                "grad_evals": float(nev),
-            }
+    for log2d in range(args.dmin, args.dmax + 1):
+        row = {"d": 2**log2d, "H": 1.4 * (2**log2d)**-0.25}
+        for integ, tag in INTEGRATORS:
+            frag = f"/tmp/gauss_ess_{log2d}_{integ}.json"
+            for attempt in (1, 2):
+                r = subprocess.run(
+                    [sys.executable, me, "--one", f"{log2d}:{integ}",
+                     "--frag", frag, "--chains", str(args.chains),
+                     "--iters", str(args.iters)])
+                if r.returncode == 0:
+                    break
+            else:
+                raise SystemExit(f"d=2^{log2d} {integ} failed twice")
+            with open(frag) as f:
+                row[tag] = json.load(f)
         results.append(row)
         print(json.dumps(row, default=float))
-
-    # d^{-1/4} scaling check on the R2P line (plotsGaussESS.py:67)
-    ds = np.array([r["d"] for r in results], float)
-    effs = np.array([r["walnuts_r2p"]["ess_per_1000_grad_q0"]
-                     for r in results])
-    slope = np.polyfit(np.log(ds), np.log(np.maximum(effs, 1e-12)), 1)[0]
-    summary = {"fit_slope_log_ess_vs_log_d": slope,
-               "theory_slope": -0.25}
+        # d^{-1/4} scaling fit on the R2P line (plotsGaussESS.py:67)
+        ds = np.array([r["d"] for r in results], float)
+        effs = np.array([r["walnuts_r2p"]["ess_per_1000_grad_q0"]
+                         for r in results])
+        slope = np.polyfit(np.log(ds),
+                           np.log(np.maximum(effs, 1e-12)), 1)[0] \
+            if len(results) > 1 else float("nan")
+        summary = {"fit_slope_log_ess_vs_log_d": slope,
+                   "theory_slope": -0.25}
+        atomic_dump({"rows": results, "summary": summary}, args.out)
     print(json.dumps(summary, default=float))
-    with open(args.out, "w") as f:
-        json.dump({"rows": results, "summary": summary}, f, indent=1,
-                  default=float)
 
 
 if __name__ == "__main__":

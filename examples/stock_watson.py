@@ -78,8 +78,10 @@ def run_one(args, tag):
         }
         print(json.dumps({tag: runs[tag]["bands"]["tau"],
                           "grad_evals": runs[tag]["grad_evals"]}, default=float))
-    with open(args.out + "." + tag, "w") as f:
+    tmp = args.out + "." + tag + ".tmp"
+    with open(tmp, "w") as f:
         json.dump(runs[tag], f, default=float)
+    os.replace(tmp, args.out + "." + tag)
 
 
 def main():
@@ -102,11 +104,16 @@ def main():
     me = os.path.abspath(__file__)
     runs = {}
     for tag, *_ in CONFIGS:
-        subprocess.run(
-            [sys.executable, me, "--chains", str(args.chains),
-             "--iters", str(args.iters), "--warmup", str(args.warmup),
-             "--m", str(args.m), "--out", args.out, "--only", tag],
-            check=True)
+        for attempt in (1, 2):
+            r = subprocess.run(
+                [sys.executable, me, "--chains", str(args.chains),
+                 "--iters", str(args.iters), "--warmup",
+                 str(args.warmup), "--m", str(args.m), "--out",
+                 args.out, "--only", tag])
+            if r.returncode == 0:
+                break
+        else:
+            raise SystemExit(f"stock-watson {tag} failed twice")
         with open(args.out + "." + tag) as f:
             runs[tag] = json.load(f)
 
@@ -123,8 +130,10 @@ def main():
     }
     print(json.dumps({k: v for k, v in res.items() if k != "runs"},
                      default=float))
-    with open(args.out, "w") as f:
+    tmp = args.out + ".tmp"
+    with open(tmp, "w") as f:
         json.dump(res, f, indent=1, default=float)
+    os.replace(tmp, args.out)
 
 
 if __name__ == "__main__":
