@@ -136,19 +136,25 @@ def warmup_phase(state_path):
              delta=np.asarray(d_t))
 
 
-def native_phase(result_path):
+def native_phase(result_path, state_path):
     """Phase 1b (own process, CPU only): the native C++ single-core
     engine on the identical funnel-101 config — the honest 'performant
     native implementation' comparator (the BridgeStan-era reference
-    only ever had single-core NumPy)."""
+    only ever had single-core NumPy).  Runs at the SAME warmup-adapted
+    (H, delta) the TPU timed phase uses, so min-ESS/s compares engine
+    speed, not tuning differences."""
     import walnuts_tpu.native as native
     from walnuts_tpu.diagnostics.ess import ess
 
+    with np.load(state_path) as f:
+        h_adapt = float(np.median(f["h"]))
+        delta_adapt = float(np.median(f["delta"]))
     rng = np.random.default_rng(3)
     q0 = 0.3 * rng.normal(size=DIM)
     t0 = time.perf_counter()
     draws, n_grad = native.run("funnel", DIM, q0, NATIVE_ITERS,
-                               h0=H0, delta=DELTA0, m=M, seed=7)
+                               h0=h_adapt, delta=delta_adapt, m=M,
+                               seed=7)
     dt = time.perf_counter() - t0
     burn = NATIVE_ITERS // 5
     ess_vals = np.asarray(ess(draws[burn:, None, :]))
@@ -156,6 +162,8 @@ def native_phase(result_path):
         "native_grad_evals_per_s": n_grad / dt,
         "native_min_ess_per_s": float(ess_vals.min()) / dt,
         "native_seconds": dt,
+        "native_h": h_adapt,
+        "native_delta": delta_adapt,
     }
     with open(result_path, "w") as f:
         json.dump(out, f)
@@ -169,58 +177,63 @@ def timed_phase(state_path, native_path):
     from walnuts_tpu.diagnostics import ess
     from walnuts_tpu.sampler.megakernel import run_walnuts_fused
 
-    target = wt.targets.funnel(DIM)
+    # generated quantities (omega, sum x^2) — the reference's two ESS
+    # tracking functionals (mainGaussESS.py:50-55) and exactly what
+    # the sanity check needs; keeps the carried sample ring at ~20 MB
+    target = wt.targets.funnel(DIM, generated=lambda q: jnp.stack(
+        [q[..., 0], jnp.sum(q[..., 1:] ** 2, axis=-1)], axis=-1))
     with np.load(state_path) as f:
         q1 = jnp.asarray(f["q"])
         h_t = jnp.asarray(f["h"])
         d_t = jnp.asarray(f["delta"])
 
-    # timed sampling phase: the megakernel (fully-flattened) engine in
-    # total-draw-budget mode — one batched micro step per round for
-    # every chain, ring-buffered outputs, no idle tails.  Chunked so
-    # the carried output buffers stay small.
+    # timed sampling phase: megakernel in min_per_chain mode — every
+    # chain delivers its first ITERS draws (fixed transition count per
+    # chain, so the stored rectangle is an unbiased equal-weight
+    # sample), while chains past quota keep transitioning (no idle
+    # tail; all work is real MCMC work and is counted).  Total-budget
+    # mode is ~6x faster to quota but its count-weighted draw pool is
+    # length-biased on the funnel (slow = deep-neck chains produce
+    # fewer draws): that bias was round-1's failed omega-sd check.
+    # The run streams as ~5 s round-capped invocations with full
+    # state carry (one compiled program, no draw-quota barriers, no
+    # long single while_loop executions — the known tunnel hazard).
     cfg2 = wt.WalnutsConfig(m=M)
-    CHUNK = 50
+    ROUNDS = 6000
+    kw = dict(target=target, cfg=cfg2, num_iter=ITERS,
+              stop_mode="min_per_chain", rounds=ROUNDS, diag_rows=8)
 
-    # compile the timed configuration once before timing
-    s_c, d_c, q1, cnt_c, ng_c = run_walnuts_fused(
-        jax.random.PRNGKey(2), q1, h_t, d_t,
-        target=target, cfg=cfg2, num_iter=CHUNK, stop_mode="total")
-    jax.block_until_ready(s_c)
+    # compile both program variants (fresh + resume) before timing
+    out_c = run_walnuts_fused(jax.random.PRNGKey(3), q1, h_t, d_t, **kw)
+    jax.block_until_ready(out_c[0])
+    out_c2 = run_walnuts_fused(jax.random.PRNGKey(3), q1, h_t, d_t,
+                               mk_state=out_c[-1], **kw)
+    jax.block_until_ready(out_c2[0])
 
     t0 = time.perf_counter()
-    samples = []
-    counts = 0
-    n_grad = 0.0
-    for i in range(ITERS // CHUNK):
-        s_i, d_i, q1, cnt_i, ng_i = run_walnuts_fused(
-            jax.random.fold_in(jax.random.PRNGKey(3), i), q1, h_t, d_t,
-            target=target, cfg=cfg2, num_iter=CHUNK, stop_mode="total")
-        samples.append(s_i)
-        counts = counts + cnt_i
-        n_grad = n_grad + ng_i
-    samples = jax.block_until_ready(jnp.concatenate(samples, axis=0))
+    stt = None
+    for _ in range(400):
+        s, d, qf, cnt, ng, stt = run_walnuts_fused(
+            jax.random.PRNGKey(3), q1, h_t, d_t, mk_state=stt, **kw)
+        if int(np.asarray(cnt).min()) >= ITERS:
+            break
+    samples = jax.block_until_ready(s)
     dt = time.perf_counter() - t0
 
-    n_grad = float(n_grad)
+    n_grad = float(ng)
     grad_per_s = n_grad / dt
+    cnt = np.asarray(cnt)
+    surplus = float(cnt.sum() - CHAINS * ITERS)
 
-    # min-ESS/s over coordinates.  ESS is additive over independent
-    # chains; chains whose rings filled in every chunk contribute an
-    # FFT-ESS directly, and the remainder (partial rings; the *slow*,
-    # deep-orbit chains, so extrapolating from the full subset alone
-    # would be biased) are scaled in by their share of the total draw
-    # count.
-    counts = np.asarray(counts)
-    full = np.where(counts >= ITERS)[0]
+    # min-ESS/s over the tracked functionals: every chain contributes
+    # exactly ITERS draws, so the FFT-ESS over the full [ITERS, C]
+    # rectangle is unbiased and additive — no subset extrapolation.
     draws = np.asarray(samples, np.float64)
-    ess_full = np.asarray(ess(jnp.asarray(draws[:, full])))
-    draw_scale = counts.sum() / max(len(full) * ITERS, 1)
-    ess_vals = ess_full * draw_scale
+    ess_vals = np.asarray(ess(jnp.asarray(draws)))
     min_ess_per_s = float(ess_vals.min() / dt)
 
-    # posterior sanity: omega ~ N(0, 9)
-    w = draws[:, full, 0].ravel()
+    # posterior sanity: omega ~ N(0, 9), equal weight per chain
+    w = draws[..., 0].ravel()
     omega_sd_err = abs(float(w.std()) - 3.0)
 
     base = numpy_baseline_grad_evals_per_s()
@@ -238,7 +251,8 @@ def timed_phase(state_path, native_path):
         "min_ess_per_s": round(min_ess_per_s, 2),
         "numpy_single_core_grad_evals_per_s": round(base, 1),
         "omega_sd_abs_error": round(omega_sd_err, 4),
-        "full_ring_chains": int(len(full)),
+        "surplus_draw_fraction": round(
+            float(surplus) / (CHAINS * ITERS), 3),
         "adapted_h_median": round(float(np.median(np.asarray(h_t))), 4),
         "adapted_delta_median": round(
             float(np.median(np.asarray(d_t))), 4),
@@ -304,7 +318,7 @@ if __name__ == "__main__":
     if args.phase == "warmup":
         warmup_phase(args.state)
     elif args.phase == "native":
-        native_phase(args.native_out)
+        native_phase(args.native_out, args.state)
     elif args.phase == "timed":
         timed_phase(args.state, args.native_out)
     else:

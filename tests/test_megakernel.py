@@ -147,6 +147,36 @@ def test_fused_min_per_chain_mode():
     np.testing.assert_allclose(x, np.asarray(s2), atol=1e-12)
 
 
+def test_fused_round_capped_resume_identical():
+    """rounds= caps each invocation at ~K rounds and returns the full
+    engine state; a chain of capped invocations with mk_state carry is
+    bit-identical to one uninterrupted run (same key, n carries)."""
+    t = wt.targets.std_gauss(5)
+    C, N = 32, 60
+    q0 = jax.random.normal(jax.random.PRNGKey(0), (C, 5), jnp.float64)
+    h = jnp.full((C,), 0.5, jnp.float64)
+    dl = jnp.full((C,), 0.1, jnp.float64)
+    kw = dict(target=t, cfg=wt.WalnutsConfig(m=4), num_iter=N,
+              stop_mode="min_per_chain")
+    s1, d1, qf1, cnt1, ng1 = run_walnuts_fused(
+        jax.random.PRNGKey(1), q0, h, dl, **kw)
+    stt = None
+    for _ in range(200):
+        s2, d2, qf2, cnt2, ng2, stt = run_walnuts_fused(
+            jax.random.PRNGKey(1), q0, h, dl, rounds=64,
+            mk_state=stt, **kw)
+        if int(np.asarray(cnt2).min()) >= N:
+            break
+    np.testing.assert_allclose(np.asarray(s1), np.asarray(s2), atol=0)
+    np.testing.assert_allclose(np.asarray(qf1), np.asarray(qf2), atol=0)
+    assert int(ng1) == int(ng2)
+    # small separate diags ring carries through (smoke: shape + finite)
+    s3, d3, *_ = run_walnuts_fused(
+        jax.random.PRNGKey(1), q0, h, dl, diag_rows=4, **kw)
+    assert d3.shape[0] == 4
+    np.testing.assert_allclose(np.asarray(s3), np.asarray(s1), atol=0)
+
+
 def test_fused_total_budget_mode():
     """Ring-buffer total-draw budget: all chains stay active, unequal
     counts, correct moments."""

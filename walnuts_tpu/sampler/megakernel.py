@@ -189,12 +189,16 @@ class _MState(NamedTuple):
 
 
 @partial(jax.jit, static_argnames=("target", "cfg", "num_iter",
-                                   "stop_mode", "warmup", "ring_rows"))
+                                   "stop_mode", "warmup", "ring_rows",
+                                   "diag_rows", "rounds"))
 def run_walnuts_fused(key, q0, h_step, delta, *, target,
                       cfg: WalnutsConfig, num_iter: int,
                       stop_mode: str = "per_chain",
                       warmup: WarmupConfig = None,
                       ring_rows: int = None,
+                      diag_rows: int = None,
+                      rounds: int = None,
+                      mk_state=None,
                       adapt_state=None):
     """Stream WALNUTS-R2P transitions with one batched micro step per
     round.
@@ -233,13 +237,27 @@ def run_walnuts_fused(key, q0, h_step, delta, *, target,
       returned rectangle is an unbiased equal-weight sample.  This is
       the mode for timed runs whose draws feed estimates.
 
-    Returns ``(samples [R, C, dg], diagnostics [R, C, 24],
+    Returns ``(samples [R, C, dg], diagnostics [Rd, C, 24],
     q_final [C, D], counts [C], total_grads)`` (plus ``(h, delta)``
-    when ``warmup`` is given), where ``R = ring_rows or num_iter``:
-    each chain's buffer is a ring over ``it % R`` holding its most
-    recent draws.  Pass a small ``ring_rows`` for adaptation-only runs
+    when ``warmup`` is given, plus the carryable engine state when
+    ``rounds`` is given), where ``R = ring_rows or num_iter`` and
+    ``Rd = diag_rows or R``: each chain's buffer is a ring over
+    ``it % R`` holding its most recent draws.  Pass a small
+    ``ring_rows``/``diag_rows`` for runs that don't need the history
     (a multi-GB carried output ring is wasted memory and a known
     TPU-tunnel hazard, ROUND1_NOTES).
+
+    ``rounds`` / ``mk_state``: round-capped invocations with full
+    state carry.  With ``rounds=K`` the loop ALSO exits after ~K
+    rounds (flush-period granularity) and the full engine state —
+    including mid-transition phase state and the output rings — is
+    appended to the return tuple; pass it back as ``mk_state`` (with
+    the same ``key`` and static args) to continue exactly where the
+    previous invocation stopped.  This bounds every device program to
+    a short fixed cost (long single ``while_loop`` executions
+    intermittently fault the TPU tunnel) without draw-quota barriers
+    or per-(C, num_iter) recompiles: the stream of invocations is one
+    uninterrupted run.
     """
     C, D = q0.shape
     dtype = q0.dtype
@@ -259,6 +277,7 @@ def run_walnuts_fused(key, q0, h_step, delta, *, target,
     S = max(m - 2, 1)
     dg = target.generated_dim
     R = num_iter if ring_rows is None else ring_rows
+    Rd = R if diag_rows is None else diag_rows
     # span levels serviced by the slab: j = 2 .. S+1
     jlev = jnp.arange(2, S + 2, dtype=jnp.int32)          # [S]
     pw_lev = jnp.left_shift(1, jlev)                      # [S]
@@ -308,7 +327,7 @@ def run_walnuts_fused(key, q0, h_step, delta, *, target,
         slab_q=jnp.zeros((C, S, D), dtype),
         slab_v=jnp.zeros((C, S, D), dtype),
         samples=jnp.zeros((R, C, dg), dtype),
-        diags=jnp.zeros((R, C, 24), dtype),
+        diags=jnp.zeros((Rd, C, 24), dtype),
         total_grads=jnp.zeros((), jnp.int64 if
                               jax.config.jax_enable_x64 else jnp.int32),
         pend0=zb, pend1=zb, prow0=zi, prow1=zi,
@@ -328,13 +347,20 @@ def run_walnuts_fused(key, q0, h_step, delta, *, target,
     # start: every chain needs fresh-init; mark by t=0 & a sentinel so
     # the first round initialises before integrating
     st = st._replace(k=jnp.full((C,), -1, jnp.int32))
+    if mk_state is not None:
+        st = mk_state          # resume; the fresh init above is DCE'd
 
     total_target = C * num_iter
+    n0 = st.n
 
     def cond(st):
         if stop_mode == "total":
-            return jnp.sum(st.it) < total_target
-        return jnp.any(st.it < num_iter)
+            live = jnp.sum(st.it) < total_target
+        else:
+            live = jnp.any(st.it < num_iter)
+        if rounds is not None:
+            live = live & (st.n < n0 + rounds)
+        return live
 
     def body(st):
         n = st.n
@@ -927,9 +953,17 @@ def run_walnuts_fused(key, q0, h_step, delta, *, target,
         oh0 = st.pend0[None, :] & (st.prow0[None, :] == rows[:, None])
         oh1 = st.pend1[None, :] & (st.prow1[None, :] == rows[:, None])
         samples = jnp.where(oh0[:, :, None], st.pgen0[None], st.samples)
-        diags = jnp.where(oh0[:, :, None], st.pdiag0.T[None], st.diags)
         samples = jnp.where(oh1[:, :, None], st.pgen1[None], samples)
-        diags = jnp.where(oh1[:, :, None], st.pdiag1.T[None], diags)
+        if Rd == R:
+            dh0, dh1 = oh0, oh1
+        else:
+            rows_d = jnp.arange(Rd, dtype=jnp.int32)
+            dh0 = st.pend0[None, :] & (
+                st.prow0[None, :] % Rd == rows_d[:, None])
+            dh1 = st.pend1[None, :] & (
+                st.prow1[None, :] % Rd == rows_d[:, None])
+        diags = jnp.where(dh0[:, :, None], st.pdiag0.T[None], st.diags)
+        diags = jnp.where(dh1[:, :, None], st.pdiag1.T[None], diags)
         zb_ = jnp.zeros_like(st.pend0)
         st = st._replace(samples=samples, diags=diags,
                          pend0=zb_, pend1=zb_)
@@ -967,6 +1001,10 @@ def run_walnuts_fused(key, q0, h_step, delta, *, target,
     # rounds of overshoot only add draws (ring semantics unchanged)
     st = jax.lax.while_loop(cond, outer_body, st)
     if warmup is not None:
-        return (st.samples, st.diags, st.qc, st.it, st.total_grads,
-                st.h_cur, st.delta_cur, (st.p2h, st.p2d))
-    return st.samples, st.diags, st.qc, st.it, st.total_grads
+        out = (st.samples, st.diags, st.qc, st.it, st.total_grads,
+               st.h_cur, st.delta_cur, (st.p2h, st.p2d))
+    else:
+        out = (st.samples, st.diags, st.qc, st.it, st.total_grads)
+    if rounds is not None:
+        out = out + (st,)
+    return out
