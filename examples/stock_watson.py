@@ -52,11 +52,28 @@ def run_one(args, tag):
         adapt = integ != "fixed_leapfrog"
         wu = wt.WarmupConfig(warmup_iter=args.warmup, adapt_h=adapt,
                              adapt_delta=adapt)
-        samples, diags, state = wt.run_walnuts(
-            jax.random.PRNGKey(hash(tag) % 2**31), q0, target=t, cfg=cfg,
-            warmup=wu, num_iter=args.iters, h0=h0, delta0=0.3)
-        gen = np.asarray(samples, np.float64)[args.warmup + 1:]
-        dg = np.asarray(diags)[args.warmup:]
+        # chunked same-shape invocations with exact resume: one long
+        # scan would carry a ~0.4 GB output ring through a minutes-long
+        # device program — both known TPU-tunnel fault triggers
+        # (ROUND1_NOTES); the iteration counter carries inside the
+        # state, so split warmup behaves as one uninterrupted run
+        key = jax.random.PRNGKey(hash(tag) % 2**31)
+        state = None
+        s_parts, d_parts = [], []
+        done = 0
+        while done < args.iters:
+            n = args.chunk   # uniform shape: one compiled program
+            samples, diags, state = wt.run_walnuts(
+                jax.random.fold_in(key, done), q0, target=t, cfg=cfg,
+                warmup=wu, num_iter=n, h0=h0, delta0=0.3,
+                resume_state=state)
+            # row 0 repeats the previous chunk's last position
+            s_parts.append(np.asarray(samples, np.float32)[1:])
+            d_parts.append(np.asarray(diags, np.float32))
+            done += n
+            print(f"{tag}: {done}/{args.iters}", flush=True)
+        gen = np.concatenate(s_parts).astype(np.float64)[args.warmup:]
+        dg = np.concatenate(d_parts)[args.warmup:]
         # constrained layout: [sigma, z (T-1), x (T), tau (T)]
         bands = {}
         for name, sl in [("sigma", slice(0, 1)),
@@ -90,6 +107,7 @@ def main():
     ap.add_argument("--iters", type=int, default=1500)
     ap.add_argument("--warmup", type=int, default=500)
     ap.add_argument("--m", type=int, default=12)
+    ap.add_argument("--chunk", type=int, default=100)
     ap.add_argument("--out", default="examples/out_stock_watson.json")
     ap.add_argument("--only", default=None)
     args = ap.parse_args()
@@ -101,19 +119,28 @@ def main():
     import subprocess
     import sys
 
+    import time
+
     me = os.path.abspath(__file__)
     runs = {}
     for tag, *_ in CONFIGS:
-        for attempt in (1, 2):
+        if os.path.exists(args.out + "." + tag):
+            with open(args.out + "." + tag) as f:
+                runs[tag] = json.load(f)
+            print(f"{tag}: reusing committed fragment")
+            continue
+        for attempt in (1, 2, 3):
+            if attempt > 1:
+                time.sleep(300)   # let a crashed TPU worker recover
             r = subprocess.run(
                 [sys.executable, me, "--chains", str(args.chains),
                  "--iters", str(args.iters), "--warmup",
-                 str(args.warmup), "--m", str(args.m), "--out",
-                 args.out, "--only", tag])
+                 str(args.warmup), "--m", str(args.m), "--chunk",
+                 str(args.chunk), "--out", args.out, "--only", tag])
             if r.returncode == 0:
                 break
         else:
-            raise SystemExit(f"stock-watson {tag} failed twice")
+            raise SystemExit(f"stock-watson {tag} failed 3x")
         with open(args.out + "." + tag) as f:
             runs[tag] = json.load(f)
 

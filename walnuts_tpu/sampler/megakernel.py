@@ -171,7 +171,7 @@ class _MState(NamedTuple):
     slab_v: jnp.ndarray
     samples: jnp.ndarray
     diags: jnp.ndarray
-    total_grads: jnp.ndarray  # scalar: all gradient evals this run
+    grad_ct: jnp.ndarray      # [C] per-chain gradient-eval count
     # staged transition outputs awaiting the periodic scatter flush
     pend0: jnp.ndarray        # [C] bool slot-0 occupied
     pend1: jnp.ndarray        # [C] bool slot-1 occupied
@@ -188,188 +188,53 @@ class _MState(NamedTuple):
     p2d: P2State              # per-chain energy-error-factor quantile
 
 
-@partial(jax.jit, static_argnames=("target", "cfg", "num_iter",
-                                   "stop_mode", "warmup", "ring_rows",
-                                   "diag_rows", "rounds"))
-def run_walnuts_fused(key, q0, h_step, delta, *, target,
-                      cfg: WalnutsConfig, num_iter: int,
-                      stop_mode: str = "per_chain",
-                      warmup: WarmupConfig = None,
-                      ring_rows: int = None,
-                      diag_rows: int = None,
-                      rounds: int = None,
-                      mk_state=None,
-                      adapt_state=None):
-    """Stream WALNUTS-R2P transitions with one batched micro step per
-    round.
 
-    ``warmup``: when given, ``h_step``/``delta`` are *initial* values
-    and each chain adapts both in-loop for its first
-    ``warmup.warmup_iter`` transitions, with the scan driver's rules
-    (``WALNUTSpy/WALNUTS.py:701-713``): the macro step from a P2
-    quantile of ``log igrConst`` pushed at every accepted macro step,
-    the tolerance from a P2 quantile of the per-transition
-    energy-error inflation factor (the scan driver keeps the exact
-    history quantile; P2 approximates it so the carry stays O(1) per
-    chain).  ``warmup.pooled`` applies a batch-median consensus at
-    every flush boundary.  The call then also returns the final
-    per-chain ``(h, delta)``.
+def _draw_round_rands(key, n, C, D, dtype):
+    """The six per-round random draws, keyed by the global round
+    counter exactly as the former in-line draws (bitwise identical)."""
+    kn = jax.random.fold_in(key, n)
+    (k_h, k_co, k_cat, k_acc, k_mom, k_dirs) = jax.random.split(kn, 6)
+    return dict(
+        h_u=jax.random.uniform(k_h, (C,), dtype),
+        co_u=jax.random.uniform(k_co, (C,), dtype),
+        cat_u=jax.random.uniform(k_cat, (C,), dtype),
+        acc_u=jax.random.uniform(k_acc, (C,), dtype),
+        mom=jax.random.normal(k_mom, (C, D), dtype),
+        dirs=jax.random.bits(k_dirs, (C,), jnp.uint32),
+    )
 
-    ``stop_mode``:
 
-    * ``"per_chain"`` — every chain produces exactly ``num_iter``
-      draws.  Chains finish at very different speeds (orbit depths
-      span 2^2..2^7 rounds per transition), so the batch spends a long
-      tail at low utilisation waiting for the slowest chain.
-    * ``"total"`` — run until ``C * num_iter`` draws exist in total;
-      each chain's buffer is a ring holding its most recent
-      ``num_iter`` draws and no chain ever idles (utilisation stays
-      ~100% to the end).  Chains contribute unequal draw counts.
-      CAUTION: a chain's draw count under a fixed *round* budget is a
-      path-dependent stopping time (slow = deep-in-the-funnel chains
-      produce fewer draws), so pooling the draws count-weighted is
-      length-biased — use for throughput probes, not posterior
-      estimates.
-    * ``"min_per_chain"`` — run until EVERY chain has ``num_iter``
-      draws, but chains that reach quota keep transitioning (no idle
-      tail; all work counted).  The ring stores each chain's *first*
-      ``num_iter`` draws: a fixed transition count per chain, so the
-      returned rectangle is an unbiased equal-weight sample.  This is
-      the mode for timed runs whose draws feed estimates.
+def _make_round_body(*, target, cfg, warmup, stop_mode, num_iter, R,
+                     C, D, dtype):
+    """Build the one-round state transition ``body(st, rnd) -> st``.
 
-    Returns ``(samples [R, C, dg], diagnostics [Rd, C, 24],
-    q_final [C, D], counts [C], total_grads)`` (plus ``(h, delta)``
-    when ``warmup`` is given, plus the carryable engine state when
-    ``rounds`` is given), where ``R = ring_rows or num_iter`` and
-    ``Rd = diag_rows or R``: each chain's buffer is a ring over
-    ``it % R`` holding its most recent draws.  Pass a small
-    ``ring_rows``/``diag_rows`` for runs that don't need the history
-    (a multi-GB carried output ring is wasted memory and a known
-    TPU-tunnel hazard, ROUND1_NOTES).
-
-    ``rounds`` / ``mk_state``: round-capped invocations with full
-    state carry.  With ``rounds=K`` the loop ALSO exits after ~K
-    rounds (flush-period granularity) and the full engine state —
-    including mid-transition phase state and the output rings — is
-    appended to the return tuple; pass it back as ``mk_state`` (with
-    the same ``key`` and static args) to continue exactly where the
-    previous invocation stopped.  This bounds every device program to
-    a short fixed cost (long single ``while_loop`` executions
-    intermittently fault the TPU tunnel) without draw-quota barriers
-    or per-(C, num_iter) recompiles: the stream of invocations is one
-    uninterrupted run.
+    The round body is pure masked elementwise jnp over ``[C]`` /
+    ``[C, D]`` state — no host control flow and no RNG (the caller
+    supplies the six per-round draws in ``rnd``) — so the SAME
+    function is traced both by the XLA megakernel loop and inside the
+    Pallas whole-round kernel: engine parity is by construction, not
+    by duplicated code.
     """
-    C, D = q0.shape
-    dtype = q0.dtype
     m = cfg.m
     min_c = cfg.igr.min_c
     max_c = cfg.igr.max_c
     p0 = cfg.igr.r2p_prob0
     lp_c = jnp.log(jnp.asarray(p0, dtype))
     lp_f = jnp.log(jnp.asarray(1.0 - p0, dtype))
-    # Flat row layout (plans.build_schedule, now computed in closed
-    # form): row 0 is the depth-0 single macro step; depth d >= 1
-    # occupies rows [2^(d-1), 2^d) with pair j integrating relative
-    # states (2j+1, 2j+2) of the new subtree.  Total rows T = 2^(m-1).
     T = 2 ** (m - 1)
-    # the slab stores only span-start states, indexed by span LEVEL
-    # (log2 span size, levels 2..m-1): at most m-2 live at once
     S = max(m - 2, 1)
-    dg = target.generated_dim
-    R = num_iter if ring_rows is None else ring_rows
-    Rd = R if diag_rows is None else diag_rows
-    # span levels serviced by the slab: j = 2 .. S+1
-    jlev = jnp.arange(2, S + 2, dtype=jnp.int32)          # [S]
-    pw_lev = jnp.left_shift(1, jlev)                      # [S]
-
-    lp0, g0 = target.logp_grad(q0)
-
-    zf = jnp.zeros((C,), dtype)
-    zi = jnp.zeros((C,), jnp.int32)
-    zb = jnp.zeros((C,), bool)
-    ones = jnp.ones((C,), dtype)
-    inf = jnp.asarray(jnp.inf, dtype)
+    jlev = jnp.arange(2, S + 2, dtype=jnp.int32)
+    pw_lev = jnp.left_shift(1, jlev)
     thresh = jnp.asarray(WT_SUM_THRESH, dtype)
     log_zero_edge = LOG_ZERO + 1.0
+    inf = jnp.asarray(jnp.inf, dtype)
 
-    st = _MState(
-        n=jnp.zeros((), jnp.int32), t=zi, it=zi,
-        phase=zi, c_cur=jnp.full((C,), min_c, jnp.int32), k=zi,
-        second=zb, h_loc=jnp.full((C,), 1.0, dtype), coarse=zb,
-        i_f=zi,
-        qs=q0, vs=jnp.zeros_like(q0), gs=g0, lps=lp0, h0s=zf,
-        qt=q0, vt=jnp.zeros_like(q0), gt=g0, lpt=lp0, ht=zf,
-        dht=zf, fint=ones,
-        qa=q0, va=jnp.zeros_like(q0), ga=g0, lpa=lp0, ha=zf, dha=zf,
-        c_sim=zi, nev_f=zi, nev_b=zi,
-        q1=q0, v1=jnp.zeros_like(q0),
-        qp=q0, vp=jnp.zeros_like(q0), gp=g0, lpp=lp0, hp=zf,
-        qm=q0, vm=jnp.zeros_like(q0), gm=g0, lpm=lp0, hm=zf,
-        qc=q0, lpc=lp0, gc=g0,
-        q_prop=q0, lp_prop=lp0, g_prop=g0,
-        q_prop_last=q0, lp_prop_last=lp0, g_prop_last=g0,
-        mscale=zf, lwt_sum_f=zf, lwt_sum_b=zf,
-        w_new_sum=zf, w_old_sum=ones,
-        sel_l=zi, sel_l_old=zi,
-        idx_time=zf, index_stat=zf, index_stat_old=zf,
-        time_f=zf, time_b=zf, orbit_len=zf, orbit_len_sam=zf,
-        a_abs=zi, b_abs=zi, xi_bits=jnp.zeros((C,), jnp.uint32),
-        depth_done=zb, stop_code=zi, both_ends_passive=zb,
-        n_doubl_sampled=zi, n_doubl_computed=zi,
-        max_f_int=zi, max_b_int=zi,
-        neval_f=zi, neval_b=zi,
-        h_min=zf, h_max=zf,
-        if_min=jnp.full((C,), _BIG_I32), if_max=jnp.full((C,), -_BIG_I32),
-        c_min_d=jnp.full((C,), _BIG_I32),
-        c_max_d=jnp.full((C,), -_BIG_I32),
-        lwt_min=jnp.full((C,), inf), lwt_max=jnp.full((C,), -inf),
-        n_states=zi, n_if_neq_ib=zi, n_if_zero=zi,
-        slab_q=jnp.zeros((C, S, D), dtype),
-        slab_v=jnp.zeros((C, S, D), dtype),
-        samples=jnp.zeros((R, C, dg), dtype),
-        diags=jnp.zeros((Rd, C, 24), dtype),
-        total_grads=jnp.zeros((), jnp.int64 if
-                              jax.config.jax_enable_x64 else jnp.int32),
-        pend0=zb, pend1=zb, prow0=zi, prow1=zi,
-        pgen0=jnp.zeros((C, dg), dtype),
-        pgen1=jnp.zeros((C, dg), dtype),
-        pdiag0=jnp.zeros((24, C), dtype),
-        pdiag1=jnp.zeros((24, C), dtype),
-        h_cur=jnp.broadcast_to(jnp.asarray(h_step, dtype), (C,)),
-        delta_cur=jnp.broadcast_to(jnp.asarray(delta, dtype), (C,)),
-        p2h=(adapt_state[0] if adapt_state is not None else
-             p2_init(1.0 - (warmup.adapt_h_target if warmup else 0.8),
-                     (C,), dtype)),
-        p2d=(adapt_state[1] if adapt_state is not None else
-             p2_init(warmup.adapt_delta_quantile if warmup else 0.9,
-                     (C,), dtype)),
-    )
-    # start: every chain needs fresh-init; mark by t=0 & a sentinel so
-    # the first round initialises before integrating
-    st = st._replace(k=jnp.full((C,), -1, jnp.int32))
-    if mk_state is not None:
-        st = mk_state          # resume; the fresh init above is DCE'd
-
-    total_target = C * num_iter
-    n0 = st.n
-
-    def cond(st):
-        if stop_mode == "total":
-            live = jnp.sum(st.it) < total_target
-        else:
-            live = jnp.any(st.it < num_iter)
-        if rounds is not None:
-            live = live & (st.n < n0 + rounds)
-        return live
-
-    def body(st):
+    def body(st, rnd):
         n = st.n
         if stop_mode in ("total", "min_per_chain"):
             live = jnp.ones((C,), bool)
         else:
             live = st.it < num_iter
-        kn = jax.random.fold_in(key, n)
-        (k_h, k_co, k_cat, k_acc, k_mom, k_dirs) = jax.random.split(kn, 6)
 
         # ------------------------------------------------------------
         # A. fresh-transition init for chains flagged k == -1 & t == 0
@@ -383,9 +248,9 @@ def run_walnuts_fused(key, q0, h_step, delta, *, target,
             # surplus chains (past quota) don't store, so never stall
             stall = stall & (st.it < num_iter)
         fresh = live & needs_fresh & ~stall
-        v0 = refresh_momentum(k_mom, (C, D), None, dtype)
+        v0 = rnd["mom"]
         h0f = hamiltonian(st.lpc, v0)
-        xi_new = jax.random.bits(k_dirs, (C,), jnp.uint32)
+        xi_new = rnd["dirs"]
         f1 = fresh[:, None]
         st = st._replace(
             qp=jnp.where(f1, st.qc, st.qp), vp=jnp.where(f1, v0, st.vp),
@@ -481,9 +346,9 @@ def run_walnuts_fused(key, q0, h_step, delta, *, target,
         idle = st.depth_done  # no integration while the suborbit is dead
         starting = live & (st.k < 0) & ~idle & ~(needs_fresh & stall)
         s_sc = cfg.step_size_rand_scale
-        h_draw = st.h_cur * jax.random.uniform(k_h, (C,), dtype,
-                                             1.0 - s_sc, 1.0 + s_sc)
-        co_draw = jax.random.uniform(k_co, (C,), dtype) < p0
+        h_draw = st.h_cur * ((1.0 - s_sc)
+                             + rnd["h_u"] * (2.0 * s_sc))
+        co_draw = rnd["co_u"] < p0
         # integration starts from the travel-direction endpoint
         q_e = jnp.where(fwd_dir[:, None], st.qp, st.qm)
         v_e = jnp.where(fwd_dir[:, None], st.vp, -st.vm)
@@ -539,8 +404,7 @@ def run_walnuts_fused(key, q0, h_step, delta, *, target,
             k=jnp.where(integ, st.k + 1, st.k),
             nev_f=st.nev_f + (integ & (st.phase != BWD)).astype(jnp.int32),
             nev_b=st.nev_b + (integ & (st.phase == BWD)).astype(jnp.int32),
-            total_grads=st.total_grads
-            + jnp.sum(integ).astype(st.total_grads.dtype),
+            grad_ct=st.grad_ct + integ.astype(jnp.int32),
         )
 
         # ------------------------------------------------------------
@@ -667,7 +531,7 @@ def run_walnuts_fused(key, q0, h_step, delta, *, target,
         lwt_dir = jnp.where(fwd_dir, lwt_sum_f, lwt_sum_b)
         w_new = jnp.exp(-st.ha + st.mscale + lwt_dir)
         w_new_sum = st.w_new_sum + jnp.where(ok, w_new, 0.0)
-        u_cat = jax.random.uniform(k_cat, (C,), dtype)
+        u_cat = rnd["cat_u"]
         sel = ok & (w_new_sum > thresh) & (u_cat * w_new_sum < w_new) \
             & ~is_d0
         sel = sel | (ok & is_d0)
@@ -793,7 +657,7 @@ def run_walnuts_fused(key, q0, h_step, delta, *, target,
         su = p_mask & st.depth_done
         go = p_mask & ~st.depth_done
 
-        u_acc = jax.random.uniform(k_acc, (C,), dtype)
+        u_acc = rnd["acc_u"]
         keep_new = u_acc * st.w_old_sum < st.w_new_sum
         restore = su | (go & ~keep_new)
         st = st._replace(
@@ -945,6 +809,190 @@ def run_walnuts_fused(key, q0, h_step, delta, *, target,
         )
         return st
 
+    return body
+
+
+@partial(jax.jit, static_argnames=("target", "cfg", "num_iter",
+                                   "stop_mode", "warmup", "ring_rows",
+                                   "diag_rows", "rounds"))
+def run_walnuts_fused(key, q0, h_step, delta, *, target,
+                      cfg: WalnutsConfig, num_iter: int,
+                      stop_mode: str = "per_chain",
+                      warmup: WarmupConfig = None,
+                      ring_rows: int = None,
+                      diag_rows: int = None,
+                      rounds: int = None,
+                      mk_state=None,
+                      adapt_state=None):
+    """Stream WALNUTS-R2P transitions with one batched micro step per
+    round.
+
+    ``warmup``: when given, ``h_step``/``delta`` are *initial* values
+    and each chain adapts both in-loop for its first
+    ``warmup.warmup_iter`` transitions, with the scan driver's rules
+    (``WALNUTSpy/WALNUTS.py:701-713``): the macro step from a P2
+    quantile of ``log igrConst`` pushed at every accepted macro step,
+    the tolerance from a P2 quantile of the per-transition
+    energy-error inflation factor (the scan driver keeps the exact
+    history quantile; P2 approximates it so the carry stays O(1) per
+    chain).  ``warmup.pooled`` applies a batch-median consensus at
+    every flush boundary.  The call then also returns the final
+    per-chain ``(h, delta)``.
+
+    ``stop_mode``:
+
+    * ``"per_chain"`` — every chain produces exactly ``num_iter``
+      draws.  Chains finish at very different speeds (orbit depths
+      span 2^2..2^7 rounds per transition), so the batch spends a long
+      tail at low utilisation waiting for the slowest chain.
+    * ``"total"`` — run until ``C * num_iter`` draws exist in total;
+      each chain's buffer is a ring holding its most recent
+      ``num_iter`` draws and no chain ever idles (utilisation stays
+      ~100% to the end).  Chains contribute unequal draw counts.
+      CAUTION: a chain's draw count under a fixed *round* budget is a
+      path-dependent stopping time (slow = deep-in-the-funnel chains
+      produce fewer draws), so pooling the draws count-weighted is
+      length-biased — use for throughput probes, not posterior
+      estimates.
+    * ``"min_per_chain"`` — run until EVERY chain has ``num_iter``
+      draws, but chains that reach quota keep transitioning (no idle
+      tail; all work counted).  The ring stores each chain's *first*
+      ``num_iter`` draws: a fixed transition count per chain, so the
+      returned rectangle is an unbiased equal-weight sample.  This is
+      the mode for timed runs whose draws feed estimates.
+
+    Returns ``(samples [R, C, dg], diagnostics [Rd, C, 24],
+    q_final [C, D], counts [C], total_grads)`` (plus ``(h, delta)``
+    when ``warmup`` is given, plus the carryable engine state when
+    ``rounds`` is given), where ``R = ring_rows or num_iter`` and
+    ``Rd = diag_rows or R``: each chain's buffer is a ring over
+    ``it % R`` holding its most recent draws.  Pass a small
+    ``ring_rows``/``diag_rows`` for runs that don't need the history
+    (a multi-GB carried output ring is wasted memory and a known
+    TPU-tunnel hazard, ROUND1_NOTES).
+
+    ``rounds`` / ``mk_state``: round-capped invocations with full
+    state carry.  With ``rounds=K`` the loop ALSO exits after ~K
+    rounds (flush-period granularity) and the full engine state —
+    including mid-transition phase state and the output rings — is
+    appended to the return tuple; pass it back as ``mk_state`` (with
+    the same ``key`` and static args) to continue exactly where the
+    previous invocation stopped.  This bounds every device program to
+    a short fixed cost (long single ``while_loop`` executions
+    intermittently fault the TPU tunnel) without draw-quota barriers
+    or per-(C, num_iter) recompiles: the stream of invocations is one
+    uninterrupted run.
+    """
+    C, D = q0.shape
+    dtype = q0.dtype
+    m = cfg.m
+    min_c = cfg.igr.min_c
+    max_c = cfg.igr.max_c
+    p0 = cfg.igr.r2p_prob0
+    lp_c = jnp.log(jnp.asarray(p0, dtype))
+    lp_f = jnp.log(jnp.asarray(1.0 - p0, dtype))
+    # Flat row layout (plans.build_schedule, now computed in closed
+    # form): row 0 is the depth-0 single macro step; depth d >= 1
+    # occupies rows [2^(d-1), 2^d) with pair j integrating relative
+    # states (2j+1, 2j+2) of the new subtree.  Total rows T = 2^(m-1).
+    T = 2 ** (m - 1)
+    # the slab stores only span-start states, indexed by span LEVEL
+    # (log2 span size, levels 2..m-1): at most m-2 live at once
+    S = max(m - 2, 1)
+    dg = target.generated_dim
+    R = num_iter if ring_rows is None else ring_rows
+    Rd = R if diag_rows is None else diag_rows
+    # span levels serviced by the slab: j = 2 .. S+1
+    jlev = jnp.arange(2, S + 2, dtype=jnp.int32)          # [S]
+    pw_lev = jnp.left_shift(1, jlev)                      # [S]
+
+    lp0, g0 = target.logp_grad(q0)
+
+    zf = jnp.zeros((C,), dtype)
+    zi = jnp.zeros((C,), jnp.int32)
+    zb = jnp.zeros((C,), bool)
+    ones = jnp.ones((C,), dtype)
+    inf = jnp.asarray(jnp.inf, dtype)
+    thresh = jnp.asarray(WT_SUM_THRESH, dtype)
+    log_zero_edge = LOG_ZERO + 1.0
+
+    st = _MState(
+        n=jnp.zeros((), jnp.int32), t=zi, it=zi,
+        phase=zi, c_cur=jnp.full((C,), min_c, jnp.int32), k=zi,
+        second=zb, h_loc=jnp.full((C,), 1.0, dtype), coarse=zb,
+        i_f=zi,
+        qs=q0, vs=jnp.zeros_like(q0), gs=g0, lps=lp0, h0s=zf,
+        qt=q0, vt=jnp.zeros_like(q0), gt=g0, lpt=lp0, ht=zf,
+        dht=zf, fint=ones,
+        qa=q0, va=jnp.zeros_like(q0), ga=g0, lpa=lp0, ha=zf, dha=zf,
+        c_sim=zi, nev_f=zi, nev_b=zi,
+        q1=q0, v1=jnp.zeros_like(q0),
+        qp=q0, vp=jnp.zeros_like(q0), gp=g0, lpp=lp0, hp=zf,
+        qm=q0, vm=jnp.zeros_like(q0), gm=g0, lpm=lp0, hm=zf,
+        qc=q0, lpc=lp0, gc=g0,
+        q_prop=q0, lp_prop=lp0, g_prop=g0,
+        q_prop_last=q0, lp_prop_last=lp0, g_prop_last=g0,
+        mscale=zf, lwt_sum_f=zf, lwt_sum_b=zf,
+        w_new_sum=zf, w_old_sum=ones,
+        sel_l=zi, sel_l_old=zi,
+        idx_time=zf, index_stat=zf, index_stat_old=zf,
+        time_f=zf, time_b=zf, orbit_len=zf, orbit_len_sam=zf,
+        a_abs=zi, b_abs=zi, xi_bits=jnp.zeros((C,), jnp.uint32),
+        depth_done=zb, stop_code=zi, both_ends_passive=zb,
+        n_doubl_sampled=zi, n_doubl_computed=zi,
+        max_f_int=zi, max_b_int=zi,
+        neval_f=zi, neval_b=zi,
+        h_min=zf, h_max=zf,
+        if_min=jnp.full((C,), _BIG_I32), if_max=jnp.full((C,), -_BIG_I32),
+        c_min_d=jnp.full((C,), _BIG_I32),
+        c_max_d=jnp.full((C,), -_BIG_I32),
+        lwt_min=jnp.full((C,), inf), lwt_max=jnp.full((C,), -inf),
+        n_states=zi, n_if_neq_ib=zi, n_if_zero=zi,
+        slab_q=jnp.zeros((C, S, D), dtype),
+        slab_v=jnp.zeros((C, S, D), dtype),
+        samples=jnp.zeros((R, C, dg), dtype),
+        diags=jnp.zeros((Rd, C, 24), dtype),
+        grad_ct=zi,
+        pend0=zb, pend1=zb, prow0=zi, prow1=zi,
+        pgen0=jnp.zeros((C, dg), dtype),
+        pgen1=jnp.zeros((C, dg), dtype),
+        pdiag0=jnp.zeros((24, C), dtype),
+        pdiag1=jnp.zeros((24, C), dtype),
+        h_cur=jnp.broadcast_to(jnp.asarray(h_step, dtype), (C,)),
+        delta_cur=jnp.broadcast_to(jnp.asarray(delta, dtype), (C,)),
+        p2h=(adapt_state[0] if adapt_state is not None else
+             p2_init(1.0 - (warmup.adapt_h_target if warmup else 0.8),
+                     (C,), dtype)),
+        p2d=(adapt_state[1] if adapt_state is not None else
+             p2_init(warmup.adapt_delta_quantile if warmup else 0.9,
+                     (C,), dtype)),
+    )
+    # start: every chain needs fresh-init; mark by t=0 & a sentinel so
+    # the first round initialises before integrating
+    st = st._replace(k=jnp.full((C,), -1, jnp.int32))
+    if mk_state is not None:
+        st = mk_state          # resume; the fresh init above is DCE'd
+
+    total_target = C * num_iter
+    n0 = st.n
+
+    def cond(st):
+        if stop_mode == "total":
+            live = jnp.sum(st.it) < total_target
+        else:
+            live = jnp.any(st.it < num_iter)
+        if rounds is not None:
+            live = live & (st.n < n0 + rounds)
+        return live
+
+    round_body = _make_round_body(
+        target=target, cfg=cfg, warmup=warmup, stop_mode=stop_mode,
+        num_iter=num_iter, R=R, C=C, D=D, dtype=dtype)
+
+    def body(st):
+        return round_body(st, _draw_round_rands(key, st.n, C, D,
+                                                dtype))
+
     def flush(st):
         """Drain both pending slots into the output rings with a
         dense one-hot masked write (a TPU scatter at [C] row indices
@@ -1000,11 +1048,13 @@ def run_walnuts_fused(key, q0, h_step, delta, *, target,
     # termination is checked once per flush period; the <=15 extra
     # rounds of overshoot only add draws (ring semantics unchanged)
     st = jax.lax.while_loop(cond, outer_body, st)
+    total_grads = jnp.sum(st.grad_ct.astype(
+        jnp.float64 if jax.config.jax_enable_x64 else jnp.float32))
     if warmup is not None:
-        out = (st.samples, st.diags, st.qc, st.it, st.total_grads,
+        out = (st.samples, st.diags, st.qc, st.it, total_grads,
                st.h_cur, st.delta_cur, (st.p2h, st.p2d))
     else:
-        out = (st.samples, st.diags, st.qc, st.it, st.total_grads)
+        out = (st.samples, st.diags, st.qc, st.it, total_grads)
     if rounds is not None:
         out = out + (st,)
     return out
