@@ -66,7 +66,7 @@ from ..utils.p2 import P2State, p2_init, p2_push, p2_quantile
 from .driver import WarmupConfig
 from .transition import WalnutsConfig
 
-_BIG_I32 = jnp.int32(2**30)
+_BIG_I32 = 2**30  # Python int: jnp scalars can't close over Pallas kernels
 FWD, R2P, BWD = 0, 1, 2
 _FLUSH_EVERY = 16  # rounds between ring-buffer scatter flushes
 
@@ -215,19 +215,25 @@ def _make_round_body(*, target, cfg, warmup, stop_mode, num_iter, R,
     Pallas whole-round kernel: engine parity is by construction, not
     by duplicated code.
     """
+    import numpy as np
+
     m = cfg.m
     min_c = cfg.igr.min_c
     max_c = cfg.igr.max_c
     p0 = cfg.igr.r2p_prob0
-    lp_c = jnp.log(jnp.asarray(p0, dtype))
-    lp_f = jnp.log(jnp.asarray(1.0 - p0, dtype))
+    # numpy (not jnp) trace-time constants: the Pallas kernel traces
+    # this body too, and pallas_call rejects closure-captured traced
+    # arrays
+    np_dtype = jnp.zeros((), dtype).dtype
+    lp_c = np.log(np.asarray(p0, np_dtype))
+    lp_f = np.log(np.asarray(1.0 - p0, np_dtype))
     T = 2 ** (m - 1)
     S = max(m - 2, 1)
-    jlev = jnp.arange(2, S + 2, dtype=jnp.int32)
-    pw_lev = jnp.left_shift(1, jlev)
-    thresh = jnp.asarray(WT_SUM_THRESH, dtype)
+    jlev = np.arange(2, S + 2, dtype=np.int32)
+    pw_lev = np.left_shift(1, jlev)
+    thresh = np.asarray(WT_SUM_THRESH, np_dtype)
     log_zero_edge = LOG_ZERO + 1.0
-    inf = jnp.asarray(jnp.inf, dtype)
+    inf = np.asarray(np.inf, np_dtype)
 
     def body(st, rnd):
         n = st.n
@@ -543,12 +549,16 @@ def _make_round_body(*, target, cfg, warmup, stop_mode, num_iter, R,
         # multi-hot span-level store mask for the pair's first member:
         # level j >= 2 opens at rel1 == 1 (mod 2^j); closes (check) at
         # rel2 == 0 (mod 2^j) with rel2 >= 2^j, within the depth
-        lev_ok = jlev[None, :] <= depth_t[:, None]            # [C,S]
+        # level vectors built by iota INSIDE the trace (array constants
+        # can't close over the Pallas kernel)
+        jlev_b = jax.lax.broadcasted_iota(jnp.int32, (1, S), 1) + 2
+        pw_lev_b = jnp.left_shift(1, jlev_b)              # [1,S]
+        lev_ok = jlev_b <= depth_t[:, None]               # [C,S]
         store_lvl = lev_ok & (
-            (rel1_t[:, None] & (pw_lev - 1)[None, :]) == 1)
+            (rel1_t[:, None] & (pw_lev_b - 1)) == 1)
         check_lvl = lev_ok & (
-            (rel2_t[:, None] & (pw_lev - 1)[None, :]) == 0) & (
-            rel2_t[:, None] >= pw_lev[None, :])
+            (rel2_t[:, None] & (pw_lev_b - 1)) == 0) & (
+            rel2_t[:, None] >= pw_lev_b)
         store_lvls = store_lvl & (ok & ~st.second)[:, None]
         sel1 = sel[:, None]
         st = st._replace(
