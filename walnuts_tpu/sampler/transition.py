@@ -189,15 +189,7 @@ def walnuts_transition(
     dtype = q.dtype
     m = cfg.m
     sched = build_schedule(m)
-    if cfg.integrator.startswith("pallas_"):
-        # fused-kernel integrators close over the target's analytic
-        # gradient (ops/pallas_integrators.py)
-        from ..ops.pallas_integrators import make_pallas_integrator
-
-        integrator = make_pallas_integrator(
-            target, mode=cfg.integrator.removeprefix("pallas_"))
-    else:
-        integrator = get_integrator(cfg.integrator)
+    integrator = get_integrator(cfg.integrator)
     im = inv_mass if cfg.use_inv_mass else None
 
     k_mom, k_dirs, k_orbit = jax.random.split(key, 3)
