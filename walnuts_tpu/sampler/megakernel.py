@@ -204,6 +204,73 @@ def _draw_round_rands(key, n, C, D, dtype):
     )
 
 
+# ---------------------------------------------------------------------------
+# per-chain counter-hash RNG (shared with the Pallas whole-round engine)
+# ---------------------------------------------------------------------------
+
+_HASH_M1 = 0x9E3779B9
+_HASH_M2 = 0x85EBCA6B
+_HASH_M3 = 0xC2B2AE35
+_U_SC = 2.0 ** -24
+_U_OFF = 2.0 ** -25
+_TWO_PI = 6.283185307179586
+
+
+def _mix32(x):
+    """splitmix32 finalizer: full-avalanche bijection on uint32."""
+    x = x ^ (x >> 16)
+    x = x * jnp.uint32(0x7FEB352D)
+    x = x ^ (x >> 15)
+    x = x * jnp.uint32(0x846CA68B)
+    x = x ^ (x >> 16)
+    return x
+
+
+def make_hash_draw(seed_i32, cid, lane, lane_i, D, dtype):
+    """Build ``draw(n_abs) -> rnd``: the six per-round draws from a
+    splitmix32 counter hash keyed by (seed, GLOBAL chain id, absolute
+    round, purpose[, lane]).
+
+    A chain's stream depends only on its own (id, round) — never on
+    batch size or composition — so a chain re-run alone, in a
+    different batch, or under a different Pallas block size replays
+    identically.  The Pallas whole-round kernel builds its draws with
+    this same constructor (block-offset ``cid``), so in ``rng='hash'``
+    mode the XLA and Pallas engines consume bitwise-identical uniform,
+    direction, and momentum bit-streams.
+
+    Args: ``seed_i32`` scalar int32; ``cid`` uint32 ``[C]`` global
+    chain ids; ``lane`` uint32 / ``lane_i`` int32 ``[1, L]`` iotas
+    over the (possibly lane-padded) dimension; ``D`` true dimension
+    (lanes >= D zeroed); ``dtype`` of the float draws.
+    """
+    seed_u = jax.lax.bitcast_convert_type(seed_i32, jnp.uint32)
+    h_c = _mix32(seed_u + cid * jnp.uint32(_HASH_M1))
+
+    def draw(n_abs):
+        h_r = _mix32(h_c
+                     + n_abs.astype(jnp.uint32) * jnp.uint32(_HASH_M2))
+
+        def u(p):
+            return ((_mix32(h_r + jnp.uint32(p) * jnp.uint32(_HASH_M3))
+                     >> 8).astype(dtype) * _U_SC)
+
+        b1 = _mix32(h_r[:, None] + jnp.uint32(5) * jnp.uint32(_HASH_M3)
+                    + lane * jnp.uint32(_HASH_M1))
+        b2 = _mix32(h_r[:, None] + jnp.uint32(6) * jnp.uint32(_HASH_M3)
+                    + lane * jnp.uint32(_HASH_M1))
+        u1 = (b1 >> 8).astype(dtype) * _U_SC + _U_OFF
+        u2 = (b2 >> 8).astype(dtype) * _U_SC
+        mom = jnp.sqrt(-2.0 * jnp.log(u1)) * jnp.cos(_TWO_PI * u2)
+        mom = jnp.where(lane_i < D, mom, 0.0).astype(dtype)
+        return dict(
+            h_u=u(0), co_u=u(1), cat_u=u(2), acc_u=u(3),
+            dirs=_mix32(h_r + jnp.uint32(4) * jnp.uint32(_HASH_M3)),
+            mom=mom)
+
+    return draw
+
+
 def _make_round_body(*, target, cfg, warmup, stop_mode, num_iter, R,
                      C, D, dtype):
     """Build the one-round state transition ``body(st, rnd) -> st``.
@@ -824,7 +891,7 @@ def _make_round_body(*, target, cfg, warmup, stop_mode, num_iter, R,
 
 @partial(jax.jit, static_argnames=("target", "cfg", "num_iter",
                                    "stop_mode", "warmup", "ring_rows",
-                                   "diag_rows", "rounds"))
+                                   "diag_rows", "rounds", "rng"))
 def run_walnuts_fused(key, q0, h_step, delta, *, target,
                       cfg: WalnutsConfig, num_iter: int,
                       stop_mode: str = "per_chain",
@@ -833,7 +900,8 @@ def run_walnuts_fused(key, q0, h_step, delta, *, target,
                       diag_rows: int = None,
                       rounds: int = None,
                       mk_state=None,
-                      adapt_state=None):
+                      adapt_state=None,
+                      rng: str = "global"):
     """Stream WALNUTS-R2P transitions with one batched micro step per
     round.
 
@@ -880,6 +948,15 @@ def run_walnuts_fused(key, q0, h_step, delta, *, target,
     ``ring_rows``/``diag_rows`` for runs that don't need the history
     (a multi-GB carried output ring is wasted memory and a known
     TPU-tunnel hazard, ROUND1_NOTES).
+
+    ``rng``: ``"global"`` keys each round's draws by the global round
+    counter (fast; a chain's stream depends on when the whole batch
+    reaches each round — fine distributionally, but not per-chain
+    reproducible across batch compositions).  ``"hash"`` derives every
+    draw from a splitmix32 counter hash of (seed, global chain id,
+    absolute round, purpose) via :func:`make_hash_draw` — per-chain
+    reproducible, and bitwise-identical to the Pallas whole-round
+    engine's production stream.
 
     ``rounds`` / ``mk_state``: round-capped invocations with full
     state carry.  With ``rounds=K`` the loop ALSO exits after ~K
@@ -999,9 +1076,22 @@ def run_walnuts_fused(key, q0, h_step, delta, *, target,
         target=target, cfg=cfg, warmup=warmup, stop_mode=stop_mode,
         num_iter=num_iter, R=R, C=C, D=D, dtype=dtype)
 
+    if rng == "hash":
+        # identical seed derivation + keying to the Pallas engine
+        # (pallas_megakernel.run_walnuts_pallas), so the two
+        # production engines consume the same per-chain stream
+        seed = jax.random.randint(jax.random.fold_in(key, 777),
+                                  (1,), 0, 2 ** 30, jnp.int32)
+        cid = jax.lax.broadcasted_iota(jnp.uint32, (1, C), 1)[0]
+        lane = jax.lax.broadcasted_iota(jnp.uint32, (1, D), 1)
+        lane_i = jax.lax.broadcasted_iota(jnp.int32, (1, D), 1)
+        hash_draw = make_hash_draw(seed[0], cid, lane, lane_i, D,
+                                   dtype)
+
     def body(st):
-        return round_body(st, _draw_round_rands(key, st.n, C, D,
-                                                dtype))
+        rnd = (hash_draw(st.n) if rng == "hash" else
+               _draw_round_rands(key, st.n, C, D, dtype))
+        return round_body(st, rnd)
 
     def flush(st):
         """Drain both pending slots into the output rings with a
