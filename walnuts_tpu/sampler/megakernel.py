@@ -244,23 +244,36 @@ def make_hash_draw(seed_i32, cid, lane, lane_i, D, dtype):
     over the (possibly lane-padded) dimension; ``D`` true dimension
     (lanes >= D zeroed); ``dtype`` of the float draws.
     """
-    seed_u = jax.lax.bitcast_convert_type(seed_i32, jnp.uint32)
-    h_c = _mix32(seed_u + cid * jnp.uint32(_HASH_M1))
+    def _bc_u32(x, like):
+        # scalar int32 -> uint32, broadcast to `like`'s shape first:
+        # Mosaic's tpu.bitcast lowers on vectors only
+        return jax.lax.bitcast_convert_type(
+            jnp.broadcast_to(x, like.shape), jnp.uint32)
+
+    h_c = _mix32(_bc_u32(seed_i32, cid) + cid * jnp.uint32(_HASH_M1))
+
+    def _to_f(x):
+        # top-24-bit uint32 -> float in [0, 1): route the cast through
+        # an int32 bitcast (values < 2^24 are sign-bit-free) — Mosaic
+        # has no uint32 -> float lowering
+        return jax.lax.convert_element_type(
+            jax.lax.bitcast_convert_type(x >> 8, jnp.int32), dtype)
 
     def draw(n_abs):
         h_r = _mix32(h_c
-                     + n_abs.astype(jnp.uint32) * jnp.uint32(_HASH_M2))
+                     + _bc_u32(n_abs, h_c) * jnp.uint32(_HASH_M2))
 
         def u(p):
-            return ((_mix32(h_r + jnp.uint32(p) * jnp.uint32(_HASH_M3))
-                     >> 8).astype(dtype) * _U_SC)
+            return _to_f(
+                _mix32(h_r + jnp.uint32(p) * jnp.uint32(_HASH_M3))
+            ) * _U_SC
 
         b1 = _mix32(h_r[:, None] + jnp.uint32(5) * jnp.uint32(_HASH_M3)
                     + lane * jnp.uint32(_HASH_M1))
         b2 = _mix32(h_r[:, None] + jnp.uint32(6) * jnp.uint32(_HASH_M3)
                     + lane * jnp.uint32(_HASH_M1))
-        u1 = (b1 >> 8).astype(dtype) * _U_SC + _U_OFF
-        u2 = (b2 >> 8).astype(dtype) * _U_SC
+        u1 = _to_f(b1) * _U_SC + _U_OFF
+        u2 = _to_f(b2) * _U_SC
         mom = jnp.sqrt(-2.0 * jnp.log(u1)) * jnp.cos(_TWO_PI * u2)
         mom = jnp.where(lane_i < D, mom, 0.0).astype(dtype)
         return dict(
@@ -269,6 +282,27 @@ def make_hash_draw(seed_i32, cid, lane, lane_i, D, dtype):
             mom=mom)
 
     return draw
+
+
+def _col(x):
+    """``x[:, None]`` that Mosaic can lower: inserting a minor dim on
+    a sub-32-bit type (bool masks) is unsupported in Pallas-TPU, so
+    bools route through int32.  No-op change for the XLA path."""
+    if x.dtype == jnp.bool_:
+        return x.astype(jnp.int32)[:, None] != 0
+    return x[:, None]
+
+
+def _colv(x):
+    """bool ``[C, S] -> [C, S, 1]`` via int32 (same Mosaic limit as
+    :func:`_col`)."""
+    return x.astype(jnp.int32)[:, :, None] != 0
+
+
+def _bsel(m, a, b):
+    """``jnp.where`` on bool operands via boolean algebra: Mosaic's
+    ``select_n`` on i1 vectors hits an unsupported truncation."""
+    return (a & m) | (b & ~m)
 
 
 def _make_round_body(*, target, cfg, warmup, stop_mode, num_iter, R,
@@ -324,7 +358,7 @@ def _make_round_body(*, target, cfg, warmup, stop_mode, num_iter, R,
         v0 = rnd["mom"]
         h0f = hamiltonian(st.lpc, v0)
         xi_new = rnd["dirs"]
-        f1 = fresh[:, None]
+        f1 = _col(fresh)
         st = st._replace(
             qp=jnp.where(f1, st.qc, st.qp), vp=jnp.where(f1, v0, st.vp),
             gp=jnp.where(f1, st.gc, st.gp),
@@ -357,10 +391,9 @@ def _make_round_body(*, target, cfg, warmup, stop_mode, num_iter, R,
             a_abs=jnp.where(fresh, 0, st.a_abs),
             b_abs=jnp.where(fresh, 0, st.b_abs),
             xi_bits=jnp.where(fresh, xi_new, st.xi_bits),
-            depth_done=jnp.where(fresh, False, st.depth_done),
+            depth_done=st.depth_done & ~fresh,
             stop_code=jnp.where(fresh, 0, st.stop_code),
-            both_ends_passive=jnp.where(fresh, False,
-                                        st.both_ends_passive),
+            both_ends_passive=st.both_ends_passive & ~fresh,
             n_doubl_sampled=jnp.where(fresh, 0, st.n_doubl_sampled),
             n_doubl_computed=jnp.where(fresh, 0, st.n_doubl_computed),
             max_f_int=jnp.where(fresh, 0, st.max_f_int),
@@ -378,7 +411,7 @@ def _make_round_body(*, target, cfg, warmup, stop_mode, num_iter, R,
             n_states=jnp.where(fresh, 0, st.n_states),
             n_if_neq_ib=jnp.where(fresh, 0, st.n_if_neq_ib),
             n_if_zero=jnp.where(fresh, 0, st.n_if_zero),
-            second=jnp.where(fresh, False, st.second),
+            second=st.second & ~fresh,
         )
 
         # per-chain schedule row, in closed form (no gathers): depth d
@@ -401,10 +434,10 @@ def _make_round_body(*, target, cfg, warmup, stop_mode, num_iter, R,
         snap = (live & first & ~is_d0 & (st.k < 0) & ~st.second
                 & ~st.depth_done)
         st = st._replace(
-            q_prop_last=jnp.where(snap[:, None], st.q_prop,
+            q_prop_last=jnp.where(_col(snap), st.q_prop,
                                   st.q_prop_last),
             lp_prop_last=jnp.where(snap, st.lp_prop, st.lp_prop_last),
-            g_prop_last=jnp.where(snap[:, None], st.g_prop,
+            g_prop_last=jnp.where(_col(snap), st.g_prop,
                                   st.g_prop_last),
             sel_l_old=jnp.where(snap, st.sel_l, st.sel_l_old),
             index_stat_old=jnp.where(snap, st.index_stat,
@@ -423,15 +456,15 @@ def _make_round_body(*, target, cfg, warmup, stop_mode, num_iter, R,
                              + rnd["h_u"] * (2.0 * s_sc))
         co_draw = rnd["co_u"] < p0
         # integration starts from the travel-direction endpoint
-        q_e = jnp.where(fwd_dir[:, None], st.qp, st.qm)
-        v_e = jnp.where(fwd_dir[:, None], st.vp, -st.vm)
-        g_e = jnp.where(fwd_dir[:, None], st.gp, st.gm)
+        q_e = jnp.where(_col(fwd_dir), st.qp, st.qm)
+        v_e = jnp.where(_col(fwd_dir), st.vp, -st.vm)
+        g_e = jnp.where(_col(fwd_dir), st.gp, st.gm)
         lp_e = jnp.where(fwd_dir, st.lpp, st.lpm)
         h_e = jnp.where(fwd_dir, st.hp, st.hm)
-        s1c = starting[:, None]
+        s1c = _col(starting)
         st = st._replace(
             h_loc=jnp.where(starting, h_draw, st.h_loc),
-            coarse=jnp.where(starting, co_draw, st.coarse),
+            coarse=_bsel(starting, co_draw, st.coarse),
             phase=jnp.where(starting, FWD, st.phase),
             c_cur=jnp.where(starting, min_c, st.c_cur),
             k=jnp.where(starting, 0, st.k),
@@ -458,13 +491,13 @@ def _make_round_body(*, target, cfg, warmup, stop_mode, num_iter, R,
         integ = live & (st.k >= 0) & ~idle
         n_steps_cur = jnp.left_shift(1, st.c_cur)
         hh = jnp.where(integ, st.h_loc / n_steps_cur.astype(dtype), 0.0)
-        hh1 = hh[:, None]
+        hh1 = _col(hh)
         vh = st.vt + 0.5 * hh1 * st.gt
         q2 = st.qt + hh1 * vh
         lp2, g2 = target.logp_grad(q2)
         v2 = vh + 0.5 * hh1 * g2
         h2 = -lp2 + 0.5 * jnp.sum(v2 * v2, axis=-1)
-        i1 = integ[:, None]
+        i1 = _col(integ)
         dh2 = jnp.abs(h2 - st.ht)
         st = st._replace(
             qt=jnp.where(i1, q2, st.qt),
@@ -491,7 +524,7 @@ def _make_round_body(*, target, cfg, warmup, stop_mode, num_iter, R,
         f_done = t_done & (st.phase == FWD)
         f_acc = f_done & (err_ok | (st.c_cur == max_c))
         # accept the trial as the forward state
-        a1 = f_acc[:, None]
+        a1 = _col(f_acc)
         st = st._replace(
             i_f=jnp.where(f_acc, st.c_cur, st.i_f),
             qa=jnp.where(a1, st.qt, st.qa),
@@ -511,7 +544,7 @@ def _make_round_body(*, target, cfg, warmup, stop_mode, num_iter, R,
 
         # -- R2P completions (endpoint always taken)
         r_done = t_done & (st.phase == R2P)
-        r1 = r_done[:, None]
+        r1 = _col(r_done)
         st = st._replace(
             qa=jnp.where(r1, st.qt, st.qa),
             va=jnp.where(r1, st.vt, st.va),
@@ -535,7 +568,7 @@ def _make_round_body(*, target, cfg, warmup, stop_mode, num_iter, R,
         # ---- phase transitions ----
         # forward retry: c+1 from the macro start
         def _reset_trial(st, mask, q, v, g, lp, h0):
-            mk = mask[:, None]
+            mk = _col(mask)
             return st._replace(
                 qt=jnp.where(mk, q, st.qt),
                 vt=jnp.where(mk, v, st.vt),
@@ -590,7 +623,7 @@ def _make_round_body(*, target, cfg, warmup, stop_mode, num_iter, R,
         lwt = (lwt_b_term - lwt_f_term).astype(dtype)
 
         # orientation back to orbit time
-        v_orb = jnp.where(fwd_dir[:, None], st.va, -st.va)
+        v_orb = jnp.where(_col(fwd_dir), st.va, -st.va)
         af = ok & fwd_dir
         ab = ok & ~fwd_dir
         rel = jnp.where(st.second, rel2_t, rel1_t)
@@ -611,7 +644,7 @@ def _make_round_body(*, target, cfg, warmup, stop_mode, num_iter, R,
         time_f2 = st.time_f + jnp.where(af, st.h_loc, 0.0)
         time_b2 = st.time_b + jnp.where(ab, st.h_loc, 0.0)
         signed_time = jnp.where(fwd_dir, time_f2, -time_b2)
-        olen_mask = jnp.where(is_d0, md, ok)
+        olen_mask = _bsel(is_d0, md, ok)
 
         # multi-hot span-level store mask for the pair's first member:
         # level j >= 2 opens at rel1 == 1 (mod 2^j); closes (check) at
@@ -620,23 +653,23 @@ def _make_round_body(*, target, cfg, warmup, stop_mode, num_iter, R,
         # can't close over the Pallas kernel)
         jlev_b = jax.lax.broadcasted_iota(jnp.int32, (1, S), 1) + 2
         pw_lev_b = jnp.left_shift(1, jlev_b)              # [1,S]
-        lev_ok = jlev_b <= depth_t[:, None]               # [C,S]
+        lev_ok = jlev_b <= _col(depth_t)               # [C,S]
         store_lvl = lev_ok & (
-            (rel1_t[:, None] & (pw_lev_b - 1)) == 1)
+            (_col(rel1_t) & (pw_lev_b - 1)) == 1)
         check_lvl = lev_ok & (
-            (rel2_t[:, None] & (pw_lev_b - 1)) == 0) & (
-            rel2_t[:, None] >= pw_lev_b)
-        store_lvls = store_lvl & (ok & ~st.second)[:, None]
-        sel1 = sel[:, None]
+            (_col(rel2_t) & (pw_lev_b - 1)) == 0) & (
+            _col(rel2_t) >= pw_lev_b)
+        store_lvls = store_lvl & _col(ok & ~st.second)
+        sel1 = _col(sel)
         st = st._replace(
-            qp=jnp.where(af[:, None], st.qa, st.qp),
-            vp=jnp.where(af[:, None], v_orb, st.vp),
-            gp=jnp.where(af[:, None], st.ga, st.gp),
+            qp=jnp.where(_col(af), st.qa, st.qp),
+            vp=jnp.where(_col(af), v_orb, st.vp),
+            gp=jnp.where(_col(af), st.ga, st.gp),
             lpp=jnp.where(af, st.lpa, st.lpp),
             hp=jnp.where(af, st.ha, st.hp),
-            qm=jnp.where(ab[:, None], st.qa, st.qm),
-            vm=jnp.where(ab[:, None], v_orb, st.vm),
-            gm=jnp.where(ab[:, None], st.ga, st.gm),
+            qm=jnp.where(_col(ab), st.qa, st.qm),
+            vm=jnp.where(_col(ab), v_orb, st.vm),
+            gm=jnp.where(_col(ab), st.ga, st.gm),
             lpm=jnp.where(ab, st.lpa, st.lpm),
             hm=jnp.where(ab, st.ha, st.hm),
             neval_f=st.neval_f + jnp.where(md, st.nev_f, 0),
@@ -671,9 +704,9 @@ def _make_round_body(*, target, cfg, warmup, stop_mode, num_iter, R,
             sel_l=jnp.where(sel, abs_id, st.sel_l),
             idx_time=jnp.where(sel, signed_time, st.idx_time),
             orbit_len=st.orbit_len + jnp.where(olen_mask, st.h_loc, 0.0),
-            slab_q=jnp.where(store_lvls[:, :, None],
+            slab_q=jnp.where(_colv(store_lvls),
                              st.qa[:, None, :], st.slab_q),
-            slab_v=jnp.where(store_lvls[:, :, None],
+            slab_v=jnp.where(_colv(store_lvls),
                              v_orb[:, None, :], st.slab_v),
         )
 
@@ -692,11 +725,11 @@ def _make_round_body(*, target, cfg, warmup, stop_mode, num_iter, R,
         # (row_done below must use the PRE-update pair flag)
         second_prev = st.second
         first_done = md & ~second_prev & ~is_d0 & finite_m
-        fd1 = first_done[:, None]
+        fd1 = _col(first_done)
         st = st._replace(
             q1=jnp.where(fd1, st.qa, st.q1),
             v1=jnp.where(fd1, v_orb, st.v1),
-            second=jnp.where(first_done, True, st.second),
+            second=st.second | first_done,
             k=jnp.where(first_done, -1, st.k),
         )
 
@@ -705,10 +738,10 @@ def _make_round_body(*, target, cfg, warmup, stop_mode, num_iter, R,
         pair_ok = md & second_prev & finite_m
 
         # adjacent U-turn between q1 and the new state
-        eq = jnp.where(fwd_dir[:, None], st.q1, st.qa)
-        ev = jnp.where(fwd_dir[:, None], st.v1, v_orb)
-        lq = jnp.where(fwd_dir[:, None], st.qa, st.q1)
-        lv = jnp.where(fwd_dir[:, None], v_orb, st.v1)
+        eq = jnp.where(_col(fwd_dir), st.q1, st.qa)
+        ev = jnp.where(_col(fwd_dir), st.v1, v_orb)
+        lq = jnp.where(_col(fwd_dir), st.qa, st.q1)
+        lv = jnp.where(_col(fwd_dir), v_orb, st.v1)
         adj_ut = uturn(eq, ev, lq, lv)
 
         # fused merge checks against span-start slab states
@@ -716,9 +749,9 @@ def _make_round_body(*, target, cfg, warmup, stop_mode, num_iter, R,
         d_f = st.qa[:, None, :] - st.slab_q
         dot_new = jnp.sum(v_orb[:, None, :] * d_f, axis=-1)
         dot_old = jnp.sum(st.slab_v * d_f, axis=-1)
-        ut_all = jnp.where(fwd_dir[:, None],
-                           (dot_new < 0.0) | (dot_old < 0.0),
-                           (dot_new > 0.0) | (dot_old > 0.0))
+        ut_all = _bsel(_col(fwd_dir),
+                        (dot_new < 0.0) | (dot_old < 0.0),
+                        (dot_new > 0.0) | (dot_old > 0.0))
         merge_ut = jnp.any(lvl_mask & ut_all, axis=1)
         depth_done = st.depth_done | (pair_ok & (adj_ut | merge_ut))
         st = st._replace(depth_done=depth_done,
@@ -738,10 +771,10 @@ def _make_round_body(*, target, cfg, warmup, stop_mode, num_iter, R,
         keep_new = u_acc * st.w_old_sum < st.w_new_sum
         restore = su | (go & ~keep_new)
         st = st._replace(
-            q_prop=jnp.where(restore[:, None], st.q_prop_last,
+            q_prop=jnp.where(_col(restore), st.q_prop_last,
                              st.q_prop),
             lp_prop=jnp.where(restore, st.lp_prop_last, st.lp_prop),
-            g_prop=jnp.where(restore[:, None], st.g_prop_last,
+            g_prop=jnp.where(_col(restore), st.g_prop_last,
                              st.g_prop),
             sel_l=jnp.where(restore, st.sel_l_old, st.sel_l),
             index_stat=jnp.where(
@@ -767,7 +800,7 @@ def _make_round_body(*, target, cfg, warmup, stop_mode, num_iter, R,
             n_doubl_computed=jnp.where(go, depth_t + 1,
                                        st.n_doubl_computed),
             orbit_len_sam=jnp.where(go, st.orbit_len, st.orbit_len_sam),
-            both_ends_passive=jnp.where(go, passive,
+            both_ends_passive=_bsel(go, passive,
                                         st.both_ends_passive),
             stop_code=jnp.where(stop_now, jnp.where(joined, 4, -4),
                                 st.stop_code),
@@ -783,7 +816,7 @@ def _make_round_body(*, target, cfg, warmup, stop_mode, num_iter, R,
                                 st.w_old_sum),
             b_abs=jnp.where(cont & fwd_dir, st.b_abs + pw, st.b_abs),
             a_abs=jnp.where(cont & ~fwd_dir, st.a_abs - pw, st.a_abs),
-            depth_done=jnp.where(p_mask, False, st.depth_done),
+            depth_done=st.depth_done & ~p_mask,
         )
 
         # ---- finalise transitions ----------------------------------
@@ -827,8 +860,8 @@ def _make_round_body(*, target, cfg, warmup, stop_mode, num_iter, R,
         pend1 = st.pend1 | use1
         prow0 = jnp.where(use0, row, st.prow0)
         prow1 = jnp.where(use1, row, st.prow1)
-        pgen0 = jnp.where(use0[:, None], gen, st.pgen0)
-        pgen1 = jnp.where(use1[:, None], gen, st.pgen1)
+        pgen0 = jnp.where(_col(use0), gen, st.pgen0)
+        pgen1 = jnp.where(_col(use1), gen, st.pgen1)
         pdiag0 = jnp.where(use0[None, :], diag_row, st.pdiag0)
         pdiag1 = jnp.where(use1[None, :], diag_row, st.pdiag1)
 
@@ -868,7 +901,7 @@ def _make_round_body(*, target, cfg, warmup, stop_mode, num_iter, R,
         new_t = jnp.where(done | ~live, 0,
                           jnp.where(row_done | jump, t_next, st.t))
         # chains that resolved su (not done handled) — su always done
-        d1 = done[:, None]
+        d1 = _col(done)
         st = st._replace(
             n=n + 1,
             t=new_t,
@@ -881,7 +914,7 @@ def _make_round_body(*, target, cfg, warmup, stop_mode, num_iter, R,
             prow0=prow0, prow1=prow1,
             pgen0=pgen0, pgen1=pgen1,
             pdiag0=pdiag0, pdiag1=pdiag1,
-            second=jnp.where(row_done | done | jump, False, st.second),
+            second=st.second & ~(row_done | done | jump),
             k=jnp.where(row_done | done | jump, -1, st.k),
         )
         return st
