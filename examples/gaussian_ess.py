@@ -77,11 +77,24 @@ def run_one(log2d, integ, chains, iters, out_path):
     cfg = wt.WalnutsConfig(m=10, integrator=integ)
     wu = wt.WarmupConfig(warmup_iter=0, adapt_h=False,
                          adapt_delta=False)
-    samples, diags, _ = wt.run_walnuts(
-        jax.random.PRNGKey(100 + log2d), q0, target=t, cfg=cfg,
-        warmup=wu, num_iter=iters, h0=hh, delta0=0.3)
-    s = np.asarray(samples[1:], np.float64)
-    dg = np.asarray(diags)
+    # chunked same-shape invocations with exact resume: one long
+    # device program at d >= 2^15 is a known TPU-tunnel fault trigger
+    # (ROUND1_NOTES); iteration state carries, so this is one run
+    chunk = max(25, min(100, (1 << 21) // d))
+    state = None
+    s_parts, d_parts = [], []
+    done = 0
+    while done < iters:
+        n = min(chunk, iters - done)
+        samples, diags, state = wt.run_walnuts(
+            jax.random.fold_in(jax.random.PRNGKey(100 + log2d), done),
+            q0, target=t, cfg=cfg, warmup=wu, num_iter=n, h0=hh,
+            delta0=0.3, resume_state=state)
+        s_parts.append(np.asarray(samples, np.float64)[1:])
+        d_parts.append(np.asarray(diags))
+        done += n
+    s = np.concatenate(s_parts)
+    dg = np.concatenate(d_parts)
     nev = dg[..., 6].sum() + dg[..., 7].sum()
     e_q0 = float(np.asarray(ess(jnp.asarray(s[..., 0]))))
     e_sq = float(np.asarray(ess(jnp.asarray(s[..., 1]))))
@@ -117,15 +130,17 @@ def main():
         row = {"d": 2**log2d, "H": 1.4 * (2**log2d)**-0.25}
         for integ, tag in INTEGRATORS:
             frag = f"/tmp/gauss_ess_{log2d}_{integ}.json"
-            for attempt in (1, 2):
-                r = subprocess.run(
-                    [sys.executable, me, "--one", f"{log2d}:{integ}",
-                     "--frag", frag, "--chains", str(args.chains),
-                     "--iters", str(args.iters)])
-                if r.returncode == 0:
-                    break
-            else:
-                raise SystemExit(f"d=2^{log2d} {integ} failed twice")
+            if not os.path.exists(frag):   # completed (d, integ)
+                for attempt in (1, 2):     # fragments are reusable
+                    r = subprocess.run(
+                        [sys.executable, me, "--one",
+                         f"{log2d}:{integ}", "--frag", frag,
+                         "--chains", str(args.chains),
+                         "--iters", str(args.iters)])
+                    if r.returncode == 0:
+                        break
+                else:
+                    raise SystemExit(f"d=2^{log2d} {integ} failed 2x")
             with open(frag) as f:
                 row[tag] = json.load(f)
         results.append(row)

@@ -24,3 +24,14 @@ import jax  # noqa: E402
 # arrive too late for backend selection — override via config too.
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
+
+# Persistent compilation cache: the full suite compiles ~400 XLA CPU
+# programs in one process, and this jaxlib's CPU backend intermittently
+# segfaults inside backend_compile_and_load after ~100 tests (observed
+# at different tests on different runs; every file passes standalone).
+# With the cache, reruns load executables from disk instead of
+# recompiling, which removes almost the entire crash window.  If a
+# cold-cache run does crash, simply rerun — completed compiles are
+# already cached.
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_test_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
