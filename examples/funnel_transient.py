@@ -38,6 +38,61 @@ def atomic_dump(obj, path):
     os.replace(tmp, path)
 
 
+def native_main(args):
+    """Single-chain run on the native C++ engine — the fast path for
+    the reference's 1-chain f64 experiment (the XLA CPU batch run
+    below cross-checks its first iterations).  Chunked with atomic
+    partial writes; each chunk warm-starts from the last draw (the
+    momentum is refreshed every transition, so only the position
+    carries) and re-seeds the chunk's RNG from (seed, iters done)."""
+    import walnuts_tpu.native as native
+
+    q = np.zeros(11)
+    q[0] = -30.0
+    draws, diags = [], []
+    done = 0
+    while done < args.iters:
+        n = min(args.chunk, args.iters - done)
+        d, ng, dg = native.run(
+            "funnel", 11, q, n, h0=0.3, delta=0.3, m=12, min_c=0,
+            max_c=args.max_c, seed=args.seed * 100003 + done,
+            want_diag=True)
+        draws.append(d)
+        diags.append(dg)
+        q = d[-1]
+        done += n
+        w = np.concatenate(draws)[:, 0]
+        dg_all = np.concatenate(diags)
+        rec = {
+            "engine": "native_cpp",
+            "dtype": "float64",
+            "seed": args.seed,
+            "iters_done": done,
+            "max_c": args.max_c,
+            "omega_trace": w[:400].tolist(),
+            "orbit_omega_min": dg_all[:400, 2].tolist(),
+            "orbit_omega_max": dg_all[:400, 3].tolist(),
+            "micro_h_min": (0.3 * 2.0 ** -dg_all[:400, 1]).tolist(),
+            "micro_h_max": (0.3 * 2.0 ** -dg_all[:400, 0]).tolist(),
+            "orbit_energy_error": dg_all[:400, 4].tolist(),
+            "grad_evals_per_iter": dg_all[:400, 5].tolist(),
+            "max_if_reached": float(dg_all[:, 1].max()),
+        }
+        above = w > -5.0
+        rec["iters_to_recovery"] = (
+            int(np.argmax(above)) if above.any() else -1)
+        if rec["iters_to_recovery"] >= 0:
+            tail = w[rec["iters_to_recovery"] + 50:]
+            if tail.size >= 50:
+                rec["omega_sd_post_recovery"] = float(tail.std())
+                rec["omega_mean_post_recovery"] = float(tail.mean())
+        atomic_dump(rec, args.out)
+        print(f"iters={done} omega={w[-1]:.2f} "
+              f"rec_iter={rec['iters_to_recovery']}", flush=True)
+        # converged enough for the experiment's question? keep going
+        # to the full budget anyway (cheap once recovered)
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--chains", type=int, default=16)
@@ -45,8 +100,15 @@ def main():
     ap.add_argument("--chunk", type=int, default=50)
     ap.add_argument("--max-c", type=int, default=30)
     ap.add_argument("--dtype", default="float32")
+    ap.add_argument("--engine", default="xla",
+                    choices=["xla", "native"])
+    ap.add_argument("--seed", type=int, default=1)
     ap.add_argument("--out", default="examples/out_funnel_transient.json")
     args = ap.parse_args()
+
+    if args.engine == "native":
+        native_main(args)
+        return
 
     import jax
     import jax.numpy as jnp

@@ -202,6 +202,14 @@ struct Sampler {
   std::mt19937_64 rng;
   long long n_grad = 0;
 
+  // per-transition diagnostics (reference diag cols 8/9, orbit
+  // min/max of the first generated coordinate, col 17 energy error,
+  // and the per-iteration gradient count) — reset in transition()
+  int it_min_if = 0, it_max_if = 0;
+  double it_q0_min = 0.0, it_q0_max = 0.0;
+  double it_ham_min = 0.0, it_ham_max = 0.0;
+  long long it_grads = 0;
+
   State make_state(const double* q) {
     State s;
     s.q.assign(q, q + target.dim);
@@ -211,11 +219,26 @@ struct Sampler {
     return s;
   }
 
+  void track_state(const State& s) {
+    if (s.q[0] < it_q0_min) it_q0_min = s.q[0];
+    if (s.q[0] > it_q0_max) it_q0_max = s.q[0];
+    if (std::isfinite(s.ham)) {
+      if (s.ham < it_ham_min) it_ham_min = s.ham;
+      if (s.ham > it_ham_max) it_ham_max = s.ham;
+    }
+  }
+
   void transition(State& cur) {
     std::normal_distribution<double> norm(0.0, 1.0);
     std::uniform_real_distribution<double> unif(0.0, 1.0);
     for (int i = 0; i < target.dim; ++i) cur.v[i] = norm(rng);
     cur.ham = -cur.lp + kinetic(cur.v);
+
+    it_min_if = max_c + 1;
+    it_max_if = -1;
+    it_q0_min = it_q0_max = cur.q[0];
+    it_ham_min = it_ham_max = cur.ham;
+    const long long grad0 = n_grad;
 
     // orbit segments: states + weights, with plus/minus ends
     State sp = cur, sm = cur;
@@ -246,6 +269,10 @@ struct Sampler {
                                      rng)
                           : fixed_step(target, in, h0);
         n_grad += r.n_eval;
+        if (adaptive) {
+          if (r.i_f < it_min_if) it_min_if = r.i_f;
+          if (r.i_f > it_max_if) it_max_if = r.i_f;
+        }
         if (!r.finite) {
           bad = true;
           break;
@@ -253,6 +280,7 @@ struct Sampler {
         if (!fwd)
           for (double& x : r.s.v) x = -x;  // back to orbit time
         end = r.s;
+        track_state(end);
         double& lwt_sum = fwd ? lwt_sum_f : lwt_sum_b;
         lwt_sum += r.lwt;
         const double w = std::exp(-end.ham + mscale + lwt_sum);
@@ -293,6 +321,11 @@ struct Sampler {
     }
     cur = prop;
     cur.lp = target.logp_grad(cur.q.data(), cur.g.data());
+    it_grads = n_grad - grad0;
+    if (it_max_if < 0) {  // no adaptive macro step ran
+      it_min_if = 0;
+      it_max_if = 0;
+    }
   }
 };
 
@@ -303,10 +336,15 @@ extern "C" {
 // Run `n_iter` transitions of WALNUTS (adaptive=1, R2P) or multinomial
 // NUTS (adaptive=0) from q0; store draws in out [n_iter * dim]
 // row-major; return the total number of gradient evaluations.
+// diag_out (nullable) gets 6 doubles per iteration: {min If, max If,
+// orbit min q[0], orbit max q[0], orbit energy error (max-min H over
+// used states; reference diag col 17), grad evals this iteration} —
+// the panels of WALNUTSpy_examples/funnel/mainFunnelTransient.py.
 long long walnuts_native_run(int target_id, int dim, const double* q0,
                              int n_iter, double h0, double delta, int m,
                              int min_c, int max_c, int adaptive,
-                             uint64_t seed, double* out) {
+                             uint64_t seed, double* out,
+                             double* diag_out) {
   Sampler s;
   s.target = Target{target_id, dim};
   s.h0 = h0;
@@ -321,6 +359,15 @@ long long walnuts_native_run(int target_id, int dim, const double* q0,
     s.transition(cur);
     if (out) std::memcpy(out + (size_t)it * dim, cur.q.data(),
                          sizeof(double) * dim);
+    if (diag_out) {
+      double* row = diag_out + (size_t)it * 6;
+      row[0] = s.it_min_if;
+      row[1] = s.it_max_if;
+      row[2] = s.it_q0_min;
+      row[3] = s.it_q0_max;
+      row[4] = s.it_ham_max - s.it_ham_min;
+      row[5] = (double)s.it_grads;
+    }
   }
   return s.n_grad;
 }

@@ -93,8 +93,13 @@ def test_fused_inloop_warmup_matches_scan():
     d_sc = float(np.median(np.asarray(state.delta)))
     assert abs(np.log(h_mk / h_sc)) < 0.5, (h_mk, h_sc)
     assert abs(np.log(d_mk / d_sc)) < 0.7, (d_mk, d_sc)
-    # adaptation actually moved the tuning
-    assert abs(np.log(h_mk / 0.3)) > 0.1 or abs(np.log(h_sc / 0.3)) < 0.1
+    # adaptation actually moved the tuning, and both engines moved it
+    # the same way (the magnitude is stream-dependent; funnel-11 at
+    # H0=0.3 sits near the adapted fixed point so it can be small)
+    moved_mk = np.log(h_mk / 0.3)
+    moved_sc = np.log(h_sc / 0.3)
+    assert abs(moved_sc) > 0.02 and abs(moved_mk) > 0.02
+    assert np.sign(moved_mk) == np.sign(moved_sc)
     # diagnostics record the tuning in cols 15/18
     d = np.asarray(d)
     assert np.all(d[..., 18] > 0)
@@ -197,3 +202,78 @@ def test_fused_total_budget_mode():
     n_eff = x.shape[0] * x.shape[1] / 8
     assert abs(x.mean()) < 5 / np.sqrt(n_eff)
     assert abs(x.std() - 1.0) < 5 * np.sqrt(0.5 / n_eff)
+
+
+def test_fused_d_protocol_matches_scan():
+    """adapt_leapfrog_d on the fused engine: moments + orbit geometry
+    match the reference-parity-tested scan driver, and the weight
+    bookkeeping is the hard D-protocol rejection (lwt in {0, logZero},
+    If == Ib on every kept state)."""
+    from walnuts_tpu.utils.constants import LOG_ZERO
+
+    t = wt.targets.std_gauss(10)
+    C = 128
+    cfg = wt.WalnutsConfig(m=6, integrator="adapt_leapfrog_d")
+    q0 = jax.random.normal(jax.random.PRNGKey(1), (C, 10), jnp.float64)
+    h = jnp.full((C,), 0.5, jnp.float64)
+    dl = jnp.full((C,), 0.1, jnp.float64)
+    s, d, qf, cnt, ng = run_walnuts_fused(
+        jax.random.PRNGKey(11), q0, h, dl, target=t, cfg=cfg,
+        num_iter=400)
+    x = np.asarray(s)[100:]
+    n_eff = x.shape[0] * x.shape[1] / 8
+    assert abs(x.mean()) < 5 / np.sqrt(n_eff)
+    assert abs(x.std() - 1.0) < 5 * np.sqrt(0.5 / n_eff)
+    d = np.asarray(d)
+    # D-protocol weight semantics: per-orbit lwt extrema are either 0
+    # (reversible) or logZero (hard reject) — never an R2P pmf ratio
+    lw = np.concatenate([d[..., 10].ravel(), d[..., 11].ravel()])
+    assert np.all((lw == 0.0) | (lw <= LOG_ZERO + 1))
+
+    wu = wt.WarmupConfig(warmup_iter=0, adapt_h=False, adapt_delta=False)
+    s2, d2, _ = wt.run_walnuts(
+        jax.random.PRNGKey(11), q0, target=t, cfg=cfg, warmup=wu,
+        num_iter=400, h0=0.5, delta0=0.1)
+    d2 = np.asarray(d2)
+    for col in (1, 20, 9, 8, 21, 22, 14):
+        assert abs(d[..., col].mean() - d2[..., col].mean()) < 0.1, col
+    assert abs((d[..., 19] == 4).mean() - (d2[..., 19] == 4).mean()) < 0.05
+    assert abs(d[..., 6].mean() - d2[..., 6].mean()) < 1.0
+    assert abs(d[..., 7].mean() - d2[..., 7].mean()) < 1.0
+
+
+def test_fused_fixed_leapfrog_is_nuts():
+    """fixed_leapfrog on the fused engine == multinomial NUTS: single
+    unchecked micro step per macro step (If = Ib = c = 0, no backward
+    evals, lwt = 0), moments + orbit geometry match the scan driver."""
+    t = wt.targets.std_gauss(10)
+    C = 128
+    cfg = wt.WalnutsConfig(m=6, integrator="fixed_leapfrog")
+    q0 = jax.random.normal(jax.random.PRNGKey(2), (C, 10), jnp.float64)
+    h = jnp.full((C,), 0.25, jnp.float64)
+    dl = jnp.full((C,), 0.1, jnp.float64)
+    s, d, qf, cnt, ng = run_walnuts_fused(
+        jax.random.PRNGKey(7), q0, h, dl, target=t, cfg=cfg,
+        num_iter=400)
+    x = np.asarray(s)[100:]
+    n_eff = x.shape[0] * x.shape[1] / 8
+    assert abs(x.mean()) < 5 / np.sqrt(n_eff)
+    assert abs(x.std() - 1.0) < 5 * np.sqrt(0.5 / n_eff)
+    d = np.asarray(d)
+    assert np.all(d[..., 8] == 0) and np.all(d[..., 9] == 0)  # If
+    assert np.all(d[..., 21] == 0) and np.all(d[..., 22] == 0)  # c
+    assert np.all(d[..., 7] == 0)                # no backward evals
+    assert np.all(d[..., 10] == 0) and np.all(d[..., 11] == 0)  # lwt
+    # forward evals == states computed (one per macro step):
+    # n_states = neval_f exactly for the fixed integrator
+    assert np.all(d[..., 6] >= 1)
+
+    wu = wt.WarmupConfig(warmup_iter=0, adapt_h=False, adapt_delta=False)
+    s2, d2, _ = wt.run_walnuts(
+        jax.random.PRNGKey(7), q0, target=t, cfg=cfg, warmup=wu,
+        num_iter=400, h0=0.25, delta0=0.1)
+    d2 = np.asarray(d2)
+    for col in (1, 20, 6):
+        assert abs(d[..., col].mean() - d2[..., col].mean()) < (
+            0.1 if col != 6 else 1.0), col
+    assert abs((d[..., 19] == 4).mean() - (d2[..., 19] == 4).mean()) < 0.05

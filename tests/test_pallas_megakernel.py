@@ -31,8 +31,12 @@ def test_pallas_table_rng_bit_parity():
     N, ROUNDS = 50, 160
     kw = dict(target=t, cfg=cfg, num_iter=N, stop_mode="min_per_chain")
 
+    # rng="table" pretabulates the XLA engine's legacy threefry
+    # global-round stream, so the XLA reference opts out of the hash
+    # default here
     *_, st_x = run_walnuts_fused(jax.random.PRNGKey(5), q0, h, dl,
-                                 rounds=ROUNDS, diag_rows=8, **kw)
+                                 rounds=ROUNDS, diag_rows=8,
+                                 rng="global", **kw)
     s_p, d_p, qc_p, cnt_p, ng_p, packed = pmk.run_walnuts_pallas(
         jax.random.PRNGKey(5), q0, h, dl, rounds=ROUNDS, block=8,
         rng="table", interpret=True, diag_rows=8, **kw)
@@ -65,7 +69,8 @@ def test_pallas_resume_continues_stream():
     kw = dict(target=t, cfg=cfg, num_iter=N, stop_mode="min_per_chain")
 
     *_, st_x = run_walnuts_fused(jax.random.PRNGKey(3), q0, h, dl,
-                                 rounds=128, diag_rows=8, **kw)
+                                 rounds=128, diag_rows=8,
+                                 rng="global", **kw)
     _, _, _, _, _, packed = pmk.run_walnuts_pallas(
         jax.random.PRNGKey(3), q0, h, dl, rounds=64, block=8,
         rng="table", interpret=True, diag_rows=8, **kw)

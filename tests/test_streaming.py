@@ -73,3 +73,29 @@ def test_streaming_chunked_resume():
     assert np.all(np.isfinite(np.asarray(s2)))
     # chains actually moved across the chunk boundary
     assert not np.allclose(np.asarray(qf), np.asarray(qf2))
+
+
+def test_streaming_hash_rng_per_chain_reproducible():
+    """rng="hash" (default): a chain's draws are a function of its
+    global id and its OWN counters only — the first 4 chains of a C=8
+    run replay bitwise as a C=4 run (the legacy rng="global" mode
+    cannot do this).  Mirrors test_pallas_megakernel's invariant: one
+    RNG semantics across all fast engines."""
+    t = wt.targets.std_gauss(8)
+    cfg = wt.WalnutsConfig(m=5)
+    q0 = jax.random.normal(jax.random.PRNGKey(0), (8, 8), jnp.float64)
+    h = jnp.full((8,), 0.5, jnp.float64)
+    d = jnp.full((8,), 0.1, jnp.float64)
+    s8, d8, _ = run_walnuts_streaming(
+        jax.random.PRNGKey(5), q0, h, d, target=t, cfg=cfg,
+        num_iter=120)
+    s4, d4, _ = run_walnuts_streaming(
+        jax.random.PRNGKey(5), q0[:4], h[:4], d[:4], target=t, cfg=cfg,
+        num_iter=120)
+    assert np.array_equal(np.asarray(s8)[:, :4], np.asarray(s4))
+    assert np.array_equal(np.asarray(d8)[:, :4], np.asarray(d4))
+    # hash draws are real randomness: stationary moments hold
+    x = np.asarray(s8)[30:]
+    n_eff = x.shape[0] * x.shape[1] / 8
+    assert abs(x.mean()) < 5 / np.sqrt(n_eff)
+    assert abs(x.std() - 1.0) < 5 * np.sqrt(0.5 / n_eff)

@@ -52,6 +52,7 @@ def _load():
             ctypes.c_int, ctypes.c_double, ctypes.c_double, ctypes.c_int,
             ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_uint64,
             np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS"),
+            np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS"),
         ]
         lib.walnuts_native_leapfrog_bench.restype = ctypes.c_longlong
         lib.walnuts_native_leapfrog_bench.argtypes = [
@@ -63,15 +64,21 @@ def _load():
 
 
 def run(target: str, dim: int, q0, n_iter: int, *, h0=0.3, delta=0.3,
-        m=10, min_c=0, max_c=10, adaptive=True, seed=0):
+        m=10, min_c=0, max_c=10, adaptive=True, seed=0,
+        want_diag=False):
     """Run the native sampler; returns ``(draws [n_iter, dim],
-    n_grad_evals)``."""
+    n_grad_evals)``, plus a ``[n_iter, 6]`` per-iteration diagnostics
+    array ``{min If, max If, orbit min q[0], orbit max q[0], orbit
+    energy error, grad evals}`` when ``want_diag`` is set."""
     lib = _load()
     q0 = np.ascontiguousarray(q0, np.float64)
     out = np.empty((n_iter, dim), np.float64)
+    diag = np.empty((n_iter, 6), np.float64)
     n_grad = lib.walnuts_native_run(
         TARGET_IDS[target], dim, q0, n_iter, h0, delta, m, min_c, max_c,
-        1 if adaptive else 0, seed, out)
+        1 if adaptive else 0, seed, out, diag)
+    if want_diag:
+        return out, int(n_grad), diag
     return out, int(n_grad)
 
 

@@ -277,7 +277,16 @@ def adapt_leapfrog_r2p(key, target, q, v, g, lp, h0, h_macro, xi, delta,
         target, start, h0, h_macro, delta, inv_mass, cfg, leapfrog_step,
         "energy", active)
 
-    coarse = jax.random.uniform(key, h0.shape) < cfg.r2p_prob0
+    # `key` is either a PRNG key (draw the refinement coin here) or a
+    # pre-drawn uniform in [0,1) of h0's shape (the streaming engine's
+    # rng="hash" mode supplies per-chain counter-hash uniforms so a
+    # chain's stream never depends on batch composition)
+    if (isinstance(key, jnp.ndarray)
+            and jnp.issubdtype(key.dtype, jnp.floating)):
+        u_coin = key
+    else:
+        u_coin = jax.random.uniform(key, h0.shape)
+    coarse = u_coin < cfg.r2p_prob0
     c_fine = i_f + 1
     nsteps_x = jnp.where(active & ~coarse, _pow2(c_fine), 0)
     h_micro_x = h_macro / _pow2(c_fine).astype(h_macro.dtype)

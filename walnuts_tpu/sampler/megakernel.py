@@ -191,7 +191,10 @@ class _MState(NamedTuple):
 
 def _draw_round_rands(key, n, C, D, dtype):
     """The six per-round random draws, keyed by the global round
-    counter exactly as the former in-line draws (bitwise identical)."""
+    counter with the former in-line draws' key derivation (the five
+    uniform/normal draws are bitwise-identically keyed; the direction
+    draw changed from a [C, m] bernoulli to one uint32 bits draw —
+    distributionally equivalent, not bitwise)."""
     kn = jax.random.fold_in(key, n)
     (k_h, k_co, k_cat, k_acc, k_mom, k_dirs) = jax.random.split(kn, 6)
     return dict(
@@ -322,6 +325,19 @@ def _make_round_body(*, target, cfg, warmup, stop_mode, num_iter, R,
     min_c = cfg.igr.min_c
     max_c = cfg.igr.max_c
     p0 = cfg.igr.r2p_prob0
+    # integrator protocol: the R2P state machine (FWD/R2P/BWD) also
+    # runs the D-family deterministic protocol
+    # (adaptiveIntegrators.py:65-137) as the degenerate case
+    # coarse=True always (simulate at If, never a refined trial;
+    # backward sweep capped at If-1 with default Ib=If) with the hard
+    # reversibility weight lwt = logZero * [If != Ib].  With
+    # min_c == max_c == 0 the D protocol reduces exactly to
+    # fixed_leapfrog (adaptiveIntegrators.py:49-59): the single c=0
+    # trial is kept regardless of the energy error, there are no
+    # backward levels, and lwt == 0 — i.e. multinomial NUTS.
+    proto_d = cfg.integrator in ("adapt_leapfrog_d", "fixed_leapfrog")
+    if cfg.integrator == "fixed_leapfrog":
+        min_c = max_c = 0
     # numpy (not jnp) trace-time constants: the Pallas kernel traces
     # this body too, and pallas_call rejects closure-captured traced
     # arrays
@@ -454,7 +470,11 @@ def _make_round_body(*, target, cfg, warmup, stop_mode, num_iter, R,
         s_sc = cfg.step_size_rand_scale
         h_draw = st.h_cur * ((1.0 - s_sc)
                              + rnd["h_u"] * (2.0 * s_sc))
-        co_draw = rnd["co_u"] < p0
+        # D protocol == R2P with the coarse branch forced (no refined
+        # trial); the co_u draw is simply unused (draws are keyed by
+        # purpose, not consumed sequentially, so streams stay aligned)
+        co_draw = (jnp.ones((C,), bool) if proto_d
+                   else rnd["co_u"] < p0)
         # integration starts from the travel-direction endpoint
         q_e = jnp.where(_col(fwd_dir), st.qp, st.qm)
         v_e = jnp.where(_col(fwd_dir), st.vp, -st.vm)
@@ -616,11 +636,15 @@ def _make_round_body(*, target, cfg, warmup, stop_mode, num_iter, R,
         md = macro_done
         ok = md & finite_m
 
-        lwt_f_term = jnp.where(st.coarse, lp_c, lp_f)
-        lwt_b_term = jnp.where(
-            st.c_sim == i_b, lp_c,
-            jnp.where(st.c_sim == i_b + 1, lp_f, LOG_ZERO))
-        lwt = (lwt_b_term - lwt_f_term).astype(dtype)
+        if proto_d:
+            # hard reversibility rejection (adaptiveIntegrators.py:137)
+            lwt = jnp.where(st.i_f == i_b, 0.0, LOG_ZERO).astype(dtype)
+        else:
+            lwt_f_term = jnp.where(st.coarse, lp_c, lp_f)
+            lwt_b_term = jnp.where(
+                st.c_sim == i_b, lp_c,
+                jnp.where(st.c_sim == i_b + 1, lp_f, LOG_ZERO))
+            lwt = (lwt_b_term - lwt_f_term).astype(dtype)
 
         # orientation back to orbit time
         v_orb = jnp.where(_col(fwd_dir), st.va, -st.va)
@@ -848,8 +872,11 @@ def _make_round_body(*, target, cfg, warmup, stop_mode, num_iter, R,
         # stage completed transitions into a free pending slot; the
         # ring-buffer scatters run only on flush rounds (the scatter
         # costs ~40% of a round if issued every round, yet only ~1% of
-        # chains complete per round)
-        row = st.it % R
+        # chains complete per round).  The slot records the ABSOLUTE
+        # draw index; the flush takes it mod R / mod Rd, so the
+        # samples and diagnostics rings each stay uniform most-recent
+        # rings even when Rd does not divide R.
+        row = st.it
         gen = target.generated(st.q_prop)
         store = done
         if stop_mode == "min_per_chain":
@@ -934,9 +961,16 @@ def run_walnuts_fused(key, q0, h_step, delta, *, target,
                       rounds: int = None,
                       mk_state=None,
                       adapt_state=None,
-                      rng: str = "global"):
-    """Stream WALNUTS-R2P transitions with one batched micro step per
+                      rng: str = "hash"):
+    """Stream WALNUTS transitions with one batched micro step per
     round.
+
+    ``cfg.integrator`` selects the protocol: ``adapt_leapfrog_r2p``
+    (randomized two-point, the default), ``adapt_leapfrog_d``
+    (deterministic halving with the hard If==Ib reversibility check),
+    or ``fixed_leapfrog`` (single unchecked leapfrog per macro step =
+    multinomial NUTS).  The other integrator families run on the scan
+    and streaming engines.
 
     ``warmup``: when given, ``h_step``/``delta`` are *initial* values
     and each chain adapts both in-loop for its first
@@ -982,14 +1016,16 @@ def run_walnuts_fused(key, q0, h_step, delta, *, target,
     (a multi-GB carried output ring is wasted memory and a known
     TPU-tunnel hazard, ROUND1_NOTES).
 
-    ``rng``: ``"global"`` keys each round's draws by the global round
-    counter (fast; a chain's stream depends on when the whole batch
-    reaches each round — fine distributionally, but not per-chain
-    reproducible across batch compositions).  ``"hash"`` derives every
-    draw from a splitmix32 counter hash of (seed, global chain id,
-    absolute round, purpose) via :func:`make_hash_draw` — per-chain
-    reproducible, and bitwise-identical to the Pallas whole-round
-    engine's production stream.
+    ``rng``: ``"hash"`` (default, one semantics across all fast
+    engines) derives every draw from a splitmix32 counter hash of
+    (seed, global chain id, absolute round, purpose) via
+    :func:`make_hash_draw` — per-chain reproducible, ~9% faster than
+    threefry, and bitwise-identical to the Pallas whole-round
+    engine's production stream.  ``"global"`` (legacy) keys each
+    round's draws by the global round counter with threefry (a
+    chain's stream then depends on when the whole batch reaches each
+    round — fine distributionally, but not per-chain reproducible
+    across batch compositions).
 
     ``rounds`` / ``mk_state``: round-capped invocations with full
     state carry.  With ``rounds=K`` the loop ALSO exits after ~K
@@ -1006,8 +1042,15 @@ def run_walnuts_fused(key, q0, h_step, delta, *, target,
     C, D = q0.shape
     dtype = q0.dtype
     m = cfg.m
-    min_c = cfg.igr.min_c
-    max_c = cfg.igr.max_c
+    if cfg.integrator not in ("adapt_leapfrog_r2p", "adapt_leapfrog_d",
+                              "fixed_leapfrog"):
+        raise ValueError(
+            "the fused engine implements the leapfrog R2P/D/fixed "
+            f"protocols; got integrator={cfg.integrator!r} (use "
+            "run_walnuts / run_walnuts_streaming for the other "
+            "integrator families)")
+    min_c = 0 if cfg.integrator == "fixed_leapfrog" else cfg.igr.min_c
+    max_c = 0 if cfg.integrator == "fixed_leapfrog" else cfg.igr.max_c
     p0 = cfg.igr.r2p_prob0
     lp_c = jnp.log(jnp.asarray(p0, dtype))
     lp_f = jnp.log(jnp.asarray(1.0 - p0, dtype))
@@ -1131,8 +1174,10 @@ def run_walnuts_fused(key, q0, h_step, delta, *, target,
         dense one-hot masked write (a TPU scatter at [C] row indices
         costs ~0.5 ms; this fuses and streams at HBM bandwidth)."""
         rows = jnp.arange(R, dtype=jnp.int32)
-        oh0 = st.pend0[None, :] & (st.prow0[None, :] == rows[:, None])
-        oh1 = st.pend1[None, :] & (st.prow1[None, :] == rows[:, None])
+        oh0 = st.pend0[None, :] & (
+            st.prow0[None, :] % R == rows[:, None])
+        oh1 = st.pend1[None, :] & (
+            st.prow1[None, :] % R == rows[:, None])
         samples = jnp.where(oh0[:, :, None], st.pgen0[None], st.samples)
         samples = jnp.where(oh1[:, :, None], st.pgen1[None], samples)
         if Rd == R:
@@ -1181,8 +1226,14 @@ def run_walnuts_fused(key, q0, h_step, delta, *, target,
     # termination is checked once per flush period; the <=15 extra
     # rounds of overshoot only add draws (ring semantics unchanged)
     st = jax.lax.while_loop(cond, outer_body, st)
-    total_grads = jnp.sum(st.grad_ct.astype(
-        jnp.float64 if jax.config.jax_enable_x64 else jnp.float32))
+    if jax.config.jax_enable_x64:
+        total_grads = jnp.sum(st.grad_ct.astype(jnp.int64))  # exact
+    else:
+        # x64 off (TPU production): f32 sum carries ~1e-7 relative
+        # rounding; exact per-chain int32 counts stay available in
+        # st.grad_ct for rounds-capped callers (bench.py sums them
+        # host-side in int64)
+        total_grads = jnp.sum(st.grad_ct.astype(jnp.float32))
     if warmup is not None:
         out = (st.samples, st.diags, st.qc, st.it, total_grads,
                st.h_cur, st.delta_cur, (st.p2h, st.p2d))

@@ -24,10 +24,14 @@ two documented differences:
 * tuning is **fixed** during a streaming run (do warmup with the scan
   driver, then stream the sampling phase; ``bench.py`` does exactly
   this);
-* randomness is keyed by the global loop counter, so results are
-  deterministic for a given ``(key, batch)`` but an individual chain's
-  path depends on the whole batch's progress (a deliberate, documented
-  deviation — draws remain independent across chains and steps).
+* randomness defaults to ``rng="hash"``: every draw is keyed by
+  (seed, global chain id, the chain's own transition + schedule-row
+  counters, purpose) with the same splitmix32 counter hash as the
+  megakernel/Pallas engines — one RNG semantics across all fast
+  engines, per-chain reproducible regardless of batch size or
+  composition.  ``rng="global"`` keeps the legacy loop-counter
+  threefry keying (a chain's path then depends on the whole batch's
+  progress).
 """
 
 from functools import partial
@@ -127,9 +131,10 @@ def _mmax(cur, new, m):
     return jnp.where(m, jnp.maximum(cur, new), cur)
 
 
-@partial(jax.jit, static_argnames=("target", "cfg", "num_iter"))
+@partial(jax.jit, static_argnames=("target", "cfg", "num_iter", "rng"))
 def run_walnuts_streaming(key, q0, h_step, delta, *, target,
-                          cfg: WalnutsConfig, num_iter: int):
+                          cfg: WalnutsConfig, num_iter: int,
+                          rng: str = "hash"):
     """Stream ``num_iter`` fixed-tuning WALNUTS transitions per chain.
 
     Args:
@@ -137,6 +142,14 @@ def run_walnuts_streaming(key, q0, h_step, delta, *, target,
         q0: ``[C, D]`` initial positions.
         h_step, delta: per-chain tuning ``[C]`` (fixed for the run).
         target, cfg: as for :func:`walnuts_transition`.
+        rng: ``"hash"`` (default) keys every draw by (seed, global
+            chain id, the chain's OWN transition counter ``it`` and
+            schedule row ``t``, purpose) via the same splitmix32
+            counter hash the megakernel/Pallas engines use — a
+            chain's stream is reproducible regardless of batch size
+            or composition.  ``"global"`` keeps the legacy
+            loop-counter threefry keying (a chain's draws then depend
+            on the whole batch's progress).
 
     Returns ``(samples [num_iter, C, dg], diagnostics
     [num_iter, C, 24], q_final [C, D])``.  The output buffers ride the
@@ -248,7 +261,12 @@ def run_walnuts_streaming(key, q0, h_step, delta, *, target,
         w_new = jnp.exp(-res.h_end + st.mscale + lwt_dir)
         w_new_sum = st.w_new_sum + jnp.where(ok, w_new, 0.0)
 
-        u = jax.random.uniform(key_cat, (C,), dtype)
+        # key_cat is a pre-drawn uniform in rng="hash" mode
+        if (isinstance(key_cat, jnp.ndarray)
+                and jnp.issubdtype(key_cat.dtype, jnp.floating)):
+            u = key_cat
+        else:
+            u = jax.random.uniform(key_cat, (C,), dtype)
         sel = ok & (w_new_sum > thresh) & (u * w_new_sum < w_new) & ~is_d0
         sel = sel | (ok & is_d0)
         signed_time_f = st.time_f + jnp.where(af, hloc, 0.0)
@@ -315,20 +333,75 @@ def run_walnuts_streaming(key, q0, h_step, delta, *, target,
     def cond(st):
         return jnp.any(st.it < num_iter)
 
+    if rng == "hash":
+        # identical seed/purpose derivation family to the megakernel
+        # hash engine (megakernel.make_hash_draw), keyed by the
+        # chain's OWN (it, t) counters instead of the global round
+        from .megakernel import (_HASH_M1, _HASH_M2, _HASH_M3, _U_OFF,
+                                 _U_SC, _TWO_PI, _mix32)
+
+        seed = jax.random.randint(jax.random.fold_in(key, 777),
+                                  (1,), 0, 2 ** 30, jnp.int32)[0]
+        cid = jax.lax.broadcasted_iota(jnp.uint32, (1, C), 1)[0]
+        lane = jax.lax.broadcasted_iota(jnp.uint32, (1, D), 1)
+        h_c = _mix32(jnp.broadcast_to(seed, (C,)).astype(jnp.uint32)
+                     + cid * jnp.uint32(_HASH_M1))
+
+        def _to_f(x):
+            return (x >> 8).astype(dtype)
+
+        def hash_draws(it, t):
+            """9 per-row draws keyed by (seed, cid, it, t, purpose)."""
+            h_it = _mix32(h_c + it.astype(jnp.uint32)
+                          * jnp.uint32(_HASH_M2))
+            h_r = _mix32(h_it + t.astype(jnp.uint32)
+                         * jnp.uint32(_HASH_M1))
+
+            def u(p):
+                return _to_f(_mix32(
+                    h_r + jnp.uint32(p) * jnp.uint32(_HASH_M3))) * _U_SC
+
+            b1 = _mix32(h_r[:, None]
+                        + jnp.uint32(8) * jnp.uint32(_HASH_M3)
+                        + lane * jnp.uint32(_HASH_M1))
+            b2 = _mix32(h_r[:, None]
+                        + jnp.uint32(9) * jnp.uint32(_HASH_M3)
+                        + lane * jnp.uint32(_HASH_M1))
+            u1 = _to_f(b1) * _U_SC + _U_OFF
+            u2 = _to_f(b2) * _U_SC
+            mom = (jnp.sqrt(-2.0 * jnp.log(u1))
+                   * jnp.cos(_TWO_PI * u2)).astype(dtype)
+            return dict(
+                h1=u(0), h2=u(1), i1=u(2), i2=u(3), c1=u(4), c2=u(5),
+                acc=u(6),
+                dirs=_mix32(h_r + jnp.uint32(7) * jnp.uint32(_HASH_M3)),
+                mom=mom)
+
     def body(st):
         n = st.n
         live = st.it < num_iter
-        kn = jax.random.fold_in(key, n)
-        (k_h, k_i1, k_i2, k_c1, k_c2, k_acc, k_mom, k_dirs) = \
-            jax.random.split(kn, 8)
+        if rng == "hash":
+            rr = hash_draws(st.it, st.t)
+            k_i1, k_i2 = rr["i1"], rr["i2"]
+            k_c1, k_c2 = rr["c1"], rr["c2"]
+        else:
+            kn = jax.random.fold_in(key, n)
+            (k_h, k_i1, k_i2, k_c1, k_c2, k_acc, k_mom, k_dirs) = \
+                jax.random.split(kn, 8)
 
         # ---- fresh-transition initialisation (t == 0) ----------------
         fresh = live & (st.t == 0)
-        v0 = refresh_momentum(k_mom, (C, D), None, dtype)
+        if rng == "hash":
+            v0 = rr["mom"]
+            bits = (rr["dirs"][:, None]
+                    >> jnp.arange(m, dtype=jnp.uint32)[None, :]) & 1
+            xi_new = jnp.where(bits != 0, 1.0, -1.0).astype(dtype)
+        else:
+            v0 = refresh_momentum(k_mom, (C, D), None, dtype)
+            xi_new = jnp.where(
+                jax.random.bernoulli(k_dirs, 0.5, (C, m)), 1.0, -1.0
+            ).astype(dtype)
         h0 = hamiltonian(st.lpc, v0)
-        xi_new = jnp.where(
-            jax.random.bernoulli(k_dirs, 0.5, (C, m)), 1.0, -1.0
-        ).astype(dtype)
         f1 = fresh[:, None]
         st = st._replace(
             qp=jnp.where(f1, st.qc, st.qp), vp=jnp.where(f1, v0, st.vp),
@@ -400,8 +473,13 @@ def run_walnuts_streaming(key, q0, h_step, delta, *, target,
         fwd = xi > 0
 
         s = cfg.step_size_rand_scale
-        hloc = h_step[:, None] * jax.random.uniform(
-            k_h, (C, 2), dtype, 1.0 - s, 1.0 + s)
+        if rng == "hash":
+            hloc = h_step[:, None] * (
+                (1.0 - s) + jnp.stack([rr["h1"], rr["h2"]], 1)
+                * (2.0 * s))
+        else:
+            hloc = h_step[:, None] * jax.random.uniform(
+                k_h, (C, 2), dtype, 1.0 - s, 1.0 + s)
 
         # depth-start snapshot
         snap = live & first & ~is_d0
@@ -465,7 +543,8 @@ def run_walnuts_streaming(key, q0, h_step, delta, *, target,
         su = p_mask & st.depth_done
         go = p_mask & ~st.depth_done
 
-        u_acc = jax.random.uniform(k_acc, (C,), dtype)
+        u_acc = (rr["acc"] if rng == "hash"
+                 else jax.random.uniform(k_acc, (C,), dtype))
         keep_new = u_acc * st.w_old_sum < st.w_new_sum
         restore = su | (go & ~keep_new)
         st = st._replace(

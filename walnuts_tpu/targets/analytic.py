@@ -28,8 +28,13 @@ def _norm_logpdf(x, loc=0.0, scale=1.0):
 
 
 # ----------------------------------------------------------------------
-def std_gauss(dim: int) -> Target:
-    """IID standard normal (``targetDistr.py:18-21``)."""
+def std_gauss(dim: int, generated=None) -> Target:
+    """IID standard normal (``targetDistr.py:18-21``).
+
+    ``generated``: optional stored-sample transform (the ``generated``
+    argument of ``WALNUTS.py:111``) — e.g. keep only ``sum(q^2)`` for
+    the transient experiment instead of the full position history.
+    """
 
     def logp(q):
         return -0.5 * jnp.sum(q * q)
@@ -38,7 +43,8 @@ def std_gauss(dim: int) -> Target:
         lp = -0.5 * jnp.sum(q * q, axis=-1)
         return lp, -q
 
-    return Target(logp, dim, name=f"std_gauss_{dim}", logp_grad=logp_grad)
+    return Target(logp, dim, name=f"std_gauss_{dim}",
+                  logp_grad=logp_grad, generated=generated)
 
 
 def corr_gauss(rho: float = 0.5) -> Target:
