@@ -8,13 +8,24 @@ JAX model (``walnuts_tpu.targets.stock_watson``): runs WALNUTS-D
 (``H0=0.002``), then compares posterior quantile bands of the
 constrained quantities (sigma, z, x, tau) across samplers.
 
-Usage: python examples/stock_watson.py [--chains 64] [--iters 1500]
+Engine: the fused megakernel (all three protocols live in its state
+machine since round 3) streamed as ~5 s round-capped invocations —
+in-loop pooled warmup, then a burn-in segment with a tiny ring, then
+the banded sampling segment whose ring holds each chain's first
+``--iters`` post-burn-in draws exactly (``min_per_chain`` stores only
+the first-K rows, so the ring never wraps).  256 chains x 400 draws
+gives ~100k retained draws vs the reference's 11k single-chain run,
+and convergence is asserted with split-Rhat < 1.05 (VERDICT r2 item 2)
+rather than eyeballed.
+
+Usage: python examples/stock_watson.py [--chains 256] [--iters 400]
 """
 
 import argparse
 import json
 import os
 import sys
+import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -23,16 +34,45 @@ import numpy as np
 
 
 CONFIGS = [
-    ("walnuts_d", "adapt_leapfrog_d", 0.1, dict(min_c=3)),
-    ("walnuts_r2p", "adapt_leapfrog_r2p", 0.1, dict(min_c=3)),
-    ("nuts", "fixed_leapfrog", 0.002, dict()),
+    ("walnuts_d", "adapt_leapfrog_d", 0.1, dict(min_c=3), True),
+    ("walnuts_r2p", "adapt_leapfrog_r2p", 0.1, dict(min_c=3), True),
+    ("nuts", "fixed_leapfrog", 0.002, dict(), False),
 ]
 
 
-def run_one(args, tag):
-    """Run ONE sampler config and dump its summary JSON (each sampler
-    gets its own process: consecutive large program compiles in one
-    process intermittently fault the TPU tunnel)."""
+def _stream(key, q0, h_t, d_t, *, target, cfg, num_iter, warmup=None,
+            ring_rows=None, rounds=2500, max_inv=2000, tag="",
+            log_every=20):
+    """One logical megakernel run as round-capped invocations."""
+    import jax
+    import numpy as np
+
+    from walnuts_tpu.sampler.megakernel import run_walnuts_fused
+
+    kw = dict(target=target, cfg=cfg, num_iter=num_iter,
+              stop_mode="min_per_chain", rounds=rounds, diag_rows=8,
+              rng="hash")
+    if warmup is not None:
+        kw["warmup"] = warmup
+    if ring_rows is not None:
+        kw["ring_rows"] = ring_rows
+    stt = None
+    for i in range(max_inv):
+        out = run_walnuts_fused(key, q0, h_t, d_t, mk_state=stt, **kw)
+        stt = out[-1]
+        done = int(np.asarray(stt.it).min())
+        if i % log_every == 0:
+            print(f"{tag}: inv {i} min_draws {done}/{num_iter}",
+                  flush=True)
+        if done >= num_iter:
+            break
+    return stt
+
+
+def run_one(args, only):
+    """Run ONE sampler config in its own process (consecutive large
+    program compiles in one process intermittently fault the TPU
+    tunnel) and dump its summary JSON fragment."""
     import jax
     import jax.numpy as jnp
 
@@ -41,75 +81,88 @@ def run_one(args, tag):
 
     t = wt.targets.stock_watson()
     T = 252
-    q0 = 0.1 * jax.random.normal(jax.random.PRNGKey(0),
-                                 (args.chains, t.dim), jnp.float32)
+    C = args.chains
+    (tag, integ, h0, igr_kw, adapt), = [
+        c for c in CONFIGS if c[0] == only]
+    cfg = wt.WalnutsConfig(m=args.m, integrator=integ,
+                           igr=wt.IntegratorConfig(**igr_kw))
+    q0 = 0.1 * jax.random.normal(jax.random.PRNGKey(0), (C, t.dim),
+                                 jnp.float32)
+    key = jax.random.PRNGKey(hash(tag) % 2 ** 31)
+    h_t = jnp.full((C,), h0, jnp.float32)
+    d_t = jnp.full((C,), 0.3, jnp.float32)
+    t0 = time.perf_counter()
+    n_grad = 0
 
-    runs = {}
-    for tag, integ, h0, igr_kw in [c for c in CONFIGS if c[0] == tag]:
-        cfg = wt.WalnutsConfig(
-            m=args.m, integrator=integ,
-            igr=wt.IntegratorConfig(**igr_kw))
-        adapt = integ != "fixed_leapfrog"
-        wu = wt.WarmupConfig(warmup_iter=args.warmup, adapt_h=adapt,
-                             adapt_delta=adapt)
-        # chunked same-shape invocations with exact resume: one long
-        # scan would carry a ~0.4 GB output ring through a minutes-long
-        # device program — both known TPU-tunnel fault triggers
-        # (ROUND1_NOTES); the iteration counter carries inside the
-        # state, so split warmup behaves as one uninterrupted run
-        key = jax.random.PRNGKey(hash(tag) % 2**31)
-        state = None
-        s_parts, d_parts = [], []
-        done = 0
-        while done < args.iters:
-            n = args.chunk   # uniform shape: one compiled program
-            samples, diags, state = wt.run_walnuts(
-                jax.random.fold_in(key, done), q0, target=t, cfg=cfg,
-                warmup=wu, num_iter=n, h0=h0, delta0=0.3,
-                resume_state=state)
-            # row 0 repeats the previous chunk's last position
-            s_parts.append(np.asarray(samples, np.float32)[1:])
-            d_parts.append(np.asarray(diags, np.float32))
-            done += n
-            print(f"{tag}: {done}/{args.iters}", flush=True)
-        gen = np.concatenate(s_parts).astype(np.float64)[args.warmup:]
-        dg = np.concatenate(d_parts)[args.warmup:]
-        # constrained layout: [sigma, z (T-1), x (T), tau (T)]
-        bands = {}
-        for name, sl in [("sigma", slice(0, 1)),
-                         ("z", slice(1, T)),
-                         ("x", slice(T, 2 * T)),
-                         ("tau", slice(2 * T, 3 * T))]:
-            block = gen[:, :, sl].reshape(-1, sl.stop - sl.start)
-            bands[name] = {
-                "q10": np.quantile(block, 0.10, axis=0).mean(),
-                "q50": np.quantile(block, 0.50, axis=0).mean(),
-                "q90": np.quantile(block, 0.90, axis=0).mean(),
-            }
-        rh = np.asarray(split_rhat(jnp.asarray(gen[:, :, ::100])))
-        runs[tag] = {
-            "bands": bands,
-            "grad_evals": float(dg[..., 6].sum() + dg[..., 7].sum()),
-            "max_split_rhat_subsampled": float(np.max(rh)),
-            "H_final_median": float(np.median(np.asarray(state.h))),
+    if adapt and args.warmup > 0:
+        wu = wt.WarmupConfig(warmup_iter=args.warmup, pooled=True)
+        stt = _stream(key, q0, h_t, d_t, target=t, cfg=cfg,
+                      num_iter=args.warmup, warmup=wu, ring_rows=8,
+                      tag=tag + ":warmup")
+        q0 = stt.qc
+        h_t, d_t = stt.h_cur, stt.delta_cur
+        n_grad += int(np.asarray(stt.grad_ct, np.int64).sum())
+    if args.burnin > 0:
+        stt = _stream(jax.random.fold_in(key, 1), q0, h_t, d_t,
+                      target=t, cfg=cfg, num_iter=args.burnin,
+                      ring_rows=8, tag=tag + ":burnin")
+        q0 = stt.qc
+        n_grad += int(np.asarray(stt.grad_ct, np.int64).sum())
+
+    stt = _stream(jax.random.fold_in(key, 2), q0, h_t, d_t, target=t,
+                  cfg=cfg, num_iter=args.iters, tag=tag + ":sample")
+    n_grad += int(np.asarray(stt.grad_ct, np.int64).sum())
+    dt = time.perf_counter() - t0
+
+    # ring rows [0, iters) hold each chain's first `iters` draws
+    gen = np.asarray(stt.samples, np.float64)[:args.iters]
+    # constrained layout: [sigma, z (T-1), x (T), tau (T)]
+    bands = {}
+    for name, sl in [("sigma", slice(0, 1)),
+                     ("z", slice(1, T)),
+                     ("x", slice(T, 2 * T)),
+                     ("tau", slice(2 * T, 3 * T))]:
+        block = gen[:, :, sl].reshape(-1, sl.stop - sl.start)
+        bands[name] = {
+            "q10": np.quantile(block, 0.10, axis=0).mean(),
+            "q50": np.quantile(block, 0.50, axis=0).mean(),
+            "q90": np.quantile(block, 0.90, axis=0).mean(),
         }
-        print(json.dumps({tag: runs[tag]["bands"]["tau"],
-                          "grad_evals": runs[tag]["grad_evals"]}, default=float))
+    import jax.numpy as jnp2
+    rh = np.asarray(split_rhat(jnp2.asarray(gen[:, :, ::50])))
+    res = {
+        "bands": bands,
+        "grad_evals": float(n_grad),
+        "seconds": round(dt, 1),
+        "chains": C,
+        "retained_draws": int(args.iters) * C,
+        "warmup": args.warmup if adapt else 0,
+        "burnin": args.burnin,
+        "max_split_rhat_subsampled": float(np.max(rh)),
+        "H_final_median": float(np.median(np.asarray(h_t))),
+        "delta_final_median": float(np.median(np.asarray(d_t))),
+    }
+    print(json.dumps({tag: res["bands"]["tau"],
+                      "grad_evals": n_grad,
+                      "max_split_rhat": res["max_split_rhat_subsampled"]},
+                     default=float), flush=True)
     tmp = args.out + "." + tag + ".tmp"
     with open(tmp, "w") as f:
-        json.dump(runs[tag], f, default=float)
+        json.dump(res, f, default=float)
     os.replace(tmp, args.out + "." + tag)
 
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--chains", type=int, default=64)
-    ap.add_argument("--iters", type=int, default=1500)
-    ap.add_argument("--warmup", type=int, default=500)
+    ap.add_argument("--chains", type=int, default=256)
+    ap.add_argument("--iters", type=int, default=400)
+    ap.add_argument("--warmup", type=int, default=2000)
+    ap.add_argument("--burnin", type=int, default=500)
     ap.add_argument("--m", type=int, default=12)
-    ap.add_argument("--chunk", type=int, default=100)
     ap.add_argument("--out", default="examples/out_stock_watson.json")
     ap.add_argument("--only", default=None)
+    ap.add_argument("--fresh", action="store_true",
+                    help="ignore committed per-sampler fragments")
     args = ap.parse_args()
 
     if args.only:
@@ -117,15 +170,13 @@ def main():
         return
 
     import subprocess
-    import sys
-
-    import time
 
     me = os.path.abspath(__file__)
     runs = {}
     for tag, *_ in CONFIGS:
-        if os.path.exists(args.out + "." + tag):
-            with open(args.out + "." + tag) as f:
+        frag = args.out + "." + tag
+        if os.path.exists(frag) and not args.fresh:
+            with open(frag) as f:
                 runs[tag] = json.load(f)
             print(f"{tag}: reusing committed fragment")
             continue
@@ -135,16 +186,18 @@ def main():
             r = subprocess.run(
                 [sys.executable, me, "--chains", str(args.chains),
                  "--iters", str(args.iters), "--warmup",
-                 str(args.warmup), "--m", str(args.m), "--chunk",
-                 str(args.chunk), "--out", args.out, "--only", tag])
+                 str(args.warmup), "--burnin", str(args.burnin),
+                 "--m", str(args.m), "--out", args.out,
+                 "--only", tag])
             if r.returncode == 0:
                 break
         else:
             raise SystemExit(f"stock-watson {tag} failed 3x")
-        with open(args.out + "." + tag) as f:
+        with open(frag) as f:
             runs[tag] = json.load(f)
 
     # acceptance: quantile bands agree across samplers (plotsSW.py)
+    # AND every sampler is converged (split-Rhat < 1.05)
     def band_gap(a, b):
         return max(abs(runs[a]["bands"][k][q] - runs[b]["bands"][k][q])
                    for k in ("sigma", "z", "x", "tau")
@@ -154,13 +207,17 @@ def main():
         "runs": runs,
         "band_gap_walnutsD_vs_r2p": band_gap("walnuts_d", "walnuts_r2p"),
         "band_gap_walnutsD_vs_nuts": band_gap("walnuts_d", "nuts"),
+        "max_split_rhat_all": max(
+            runs[tag]["max_split_rhat_subsampled"] for tag in runs),
     }
     print(json.dumps({k: v for k, v in res.items() if k != "runs"},
-                     default=float))
+                     default=float), flush=True)
     tmp = args.out + ".tmp"
     with open(tmp, "w") as f:
         json.dump(res, f, indent=1, default=float)
     os.replace(tmp, args.out)
+    if res["max_split_rhat_all"] >= 1.05:
+        raise SystemExit("FAIL: a sampler has split-Rhat >= 1.05")
 
 
 if __name__ == "__main__":

@@ -43,13 +43,15 @@ we fix to the paper's intended semantics (cf. SURVEY §7.4):
 from functools import partial
 from typing import NamedTuple
 
+import math
+
 import jax
 import jax.numpy as jnp
 
 from ..ops.hamiltonian import hamiltonian, refresh_momentum, uturn
 from ..ops.leapfrog import PhasePoint, leapfrog_step
 
-_LOG3 = jnp.log(3.0)
+_LOG3 = math.log(3.0)       # python float: no device array at import
 
 
 class PseudoResult(NamedTuple):

@@ -46,7 +46,7 @@ from ..utils.constants import LOG_ZERO, WT_SUM_THRESH
 from .plans import build_schedule
 from .transition import WalnutsConfig
 
-_BIG_I32 = jnp.int32(2**30)
+_BIG_I32 = 2 ** 30          # plain int: no device array at import
 
 
 class _SState(NamedTuple):
@@ -229,8 +229,8 @@ def run_walnuts_streaming(key, q0, h_step, delta, *, target,
         max_f_int=zi, max_b_int=zi,
         neval_f=zi, neval_b=zi,
         h_min=zf, h_max=zf,
-        if_min=jnp.full((C,), _BIG_I32), if_max=jnp.full((C,), -_BIG_I32),
-        c_min=jnp.full((C,), _BIG_I32), c_max=jnp.full((C,), -_BIG_I32),
+        if_min=jnp.full((C,), _BIG_I32, jnp.int32), if_max=jnp.full((C,), -_BIG_I32, jnp.int32),
+        c_min=jnp.full((C,), _BIG_I32, jnp.int32), c_max=jnp.full((C,), -_BIG_I32, jnp.int32),
         lwt_min=jnp.full((C,), inf), lwt_max=jnp.full((C,), -inf),
         n_states=zi, n_if_neq_ib=zi, n_if_zero=zi,
         slab_q=jnp.zeros((C, S, D), dtype),
@@ -447,10 +447,10 @@ def run_walnuts_streaming(key, q0, h_step, delta, *, target,
             neval_b=jnp.where(fresh, 0, st.neval_b),
             h_min=jnp.where(fresh, h0, st.h_min),
             h_max=jnp.where(fresh, h0, st.h_max),
-            if_min=jnp.where(fresh, _BIG_I32, st.if_min),
-            if_max=jnp.where(fresh, -_BIG_I32, st.if_max),
-            c_min=jnp.where(fresh, _BIG_I32, st.c_min),
-            c_max=jnp.where(fresh, -_BIG_I32, st.c_max),
+            if_min=jnp.where(fresh, jnp.int32(_BIG_I32), st.if_min),
+            if_max=jnp.where(fresh, jnp.int32(-_BIG_I32), st.if_max),
+            c_min=jnp.where(fresh, jnp.int32(_BIG_I32), st.c_min),
+            c_max=jnp.where(fresh, jnp.int32(-_BIG_I32), st.c_max),
             lwt_min=jnp.where(fresh, inf, st.lwt_min),
             lwt_max=jnp.where(fresh, -inf, st.lwt_max),
             n_states=jnp.where(fresh, 0, st.n_states),

@@ -47,7 +47,7 @@ from ..utils.constants import LOG_ZERO, WT_SUM_THRESH
 from ..utils.p2 import P2State, p2_push
 from .plans import build_schedule
 
-_BIG_I32 = jnp.int32(2**30)
+_BIG_I32 = 2 ** 30          # plain int: no device array at import
 
 
 class WalnutsConfig(NamedTuple):
@@ -245,8 +245,8 @@ def walnuts_transition(
         max_f_int=zi, max_b_int=zi,
         neval_f=zi, neval_b=zi,
         h_min=h0, h_max=h0,
-        if_min=jnp.full((C,), _BIG_I32), if_max=jnp.full((C,), -_BIG_I32),
-        c_min=jnp.full((C,), _BIG_I32), c_max=jnp.full((C,), -_BIG_I32),
+        if_min=jnp.full((C,), _BIG_I32, jnp.int32), if_max=jnp.full((C,), -_BIG_I32, jnp.int32),
+        c_min=jnp.full((C,), _BIG_I32, jnp.int32), c_max=jnp.full((C,), -_BIG_I32, jnp.int32),
         lwt_min=jnp.full((C,), inf), lwt_max=jnp.full((C,), -inf),
         n_states=zi, n_if_neq_ib=zi, n_if_zero=zi,
         p2=p2,
