@@ -115,9 +115,39 @@ def main():
     # plotsFunnel.py:146
     res["relative_cost_nuts_over_walnuts"] = float(nev_n / nev_w)
 
+    # --- acceptance gates (VERDICT r2 weak item 6: the reference's
+    # visual QQ gate, plotsFunnel.py:103-122, made numeric and
+    # MC-error-calibrated like tests/test_float32.py) -----------------
+    n_eff = max(e_w, 1.0)
+    se_tail = np.sqrt(p_tail * (1 - p_tail) / n_eff)
+    gates = {
+        # WALNUTS resolves the tail mass within 5 MC standard errors
+        "tail_fraction_gap": abs(res["walnuts"]["tail_fraction"]
+                                 - p_tail),
+        "tail_fraction_tol": 5 * se_tail,
+        # tail QQ: the se of the p_tail-quantile estimate from n_eff
+        # effective draws is sqrt(p(1-p)/n_eff)/f(q_p); deeper tail
+        # points have smaller density (larger se), so the tol uses
+        # f(-3) (the densest tail point) with 5x headroom
+        "tail_qq_rmse_tol": 5 * float(np.sqrt(
+            p_tail * (1 - p_tail) / n_eff)
+            / stats.norm.pdf(-3.0, 0, 3.0)),
+        "tail_qq_rmse": tail_rmse,
+        # omega sd within 5 MC standard errors of the exact 3.0
+        "omega_sd_gap": abs(res["walnuts"]["omega_sd"] - 3.0),
+        "omega_sd_tol": 5 * 3 * float(np.sqrt(0.5 / n_eff)),
+    }
+    gates["pass"] = bool(
+        gates["tail_fraction_gap"] < gates["tail_fraction_tol"]
+        and gates["tail_qq_rmse"] < gates["tail_qq_rmse_tol"]
+        and gates["omega_sd_gap"] < gates["omega_sd_tol"])
+    res["acceptance"] = gates
+
     print(json.dumps(res, indent=1, default=float))
     with open(args.out, "w") as f:
         json.dump(res, f, indent=1, default=float)
+    if not gates["pass"]:
+        raise SystemExit("FAIL: funnel acceptance gates not met")
 
 
 if __name__ == "__main__":
