@@ -277,3 +277,38 @@ def test_fused_fixed_leapfrog_is_nuts():
         assert abs(d[..., col].mean() - d2[..., col].mean()) < (
             0.1 if col != 6 else 1.0), col
     assert abs((d[..., 19] == 4).mean() - (d2[..., 19] == 4).mean()) < 0.05
+
+
+def test_fused_micro_unroll_statistically_equivalent():
+    """micro_unroll=4 == micro_unroll=1 in distribution (the RNG
+    stream is round-keyed so K changes the draws, not the kernel):
+    moments match, grad counts agree (the unroll must not integrate
+    past trial boundaries), and diagnostics geometry matches."""
+    t = wt.targets.funnel(8)
+    C = 256
+    cfg = wt.WalnutsConfig(m=6)
+    q0 = 0.1 * jax.random.normal(jax.random.PRNGKey(4), (C, 8),
+                                 jnp.float64)
+    h = jnp.full((C,), 0.4, jnp.float64)
+    dl = jnp.full((C,), 0.3, jnp.float64)
+    outs = {}
+    for K in (1, 4):
+        s, d, qf, cnt, ng = run_walnuts_fused(
+            jax.random.PRNGKey(12), q0, h, dl, target=t, cfg=cfg,
+            num_iter=300, micro_unroll=K)
+        outs[K] = (np.asarray(s)[100:], np.asarray(d), float(ng))
+    w1, w4 = outs[1][0][..., 0], outs[4][0][..., 0]
+    n_eff = w1.size / 20
+    se = 3.0 * np.sqrt(2.0 / n_eff)
+    assert abs(w1.mean() - w4.mean()) < 5 * se, (w1.mean(), w4.mean())
+    assert abs(w1.std() - w4.std()) < 5 * se, (w1.std(), w4.std())
+    # same work per transition on average (a biased unroll would
+    # over- or under-count trials)
+    g1 = outs[1][2] / (300 * C)
+    g4 = outs[4][2] / (300 * C)
+    assert abs(g1 - g4) / g1 < 0.1, (g1, g4)
+    # orbit geometry (doublings, If, c) agrees
+    for col in (1, 8, 9, 21, 22):
+        m1 = outs[1][1][..., col].mean()
+        m4 = outs[4][1][..., col].mean()
+        assert abs(m1 - m4) < 0.25 + 0.05 * abs(m1), (col, m1, m4)

@@ -309,7 +309,7 @@ def _bsel(m, a, b):
 
 
 def _make_round_body(*, target, cfg, warmup, stop_mode, num_iter, R,
-                     C, D, dtype):
+                     C, D, dtype, micro_unroll=1):
     """Build the one-round state transition ``body(st, rnd) -> st``.
 
     The round body is pure masked elementwise jnp over ``[C]`` /
@@ -506,37 +506,56 @@ def _make_round_body(*, target, cfg, warmup, stop_mode, num_iter, R,
         )
 
         # ------------------------------------------------------------
-        # C. ONE batched leapfrog micro step for every integrating chain
+        # C. batched leapfrog micro steps for every integrating chain.
+        #    With micro_unroll = K > 1 the round advances up to K
+        #    micro steps back-to-back: only the 7 live-trial arrays
+        #    are rewritten per sub-step, so the ~35 bookkeeping
+        #    carries (sections A/B/D-G) amortise over K gradient
+        #    evaluations instead of 1.  A chain whose trial boundary
+        #    falls mid-round masks out of the remaining sub-steps
+        #    (bounded idle: < K-1 steps per trial) and resolves its
+        #    completion in section D as usual.
         # ------------------------------------------------------------
-        integ = live & (st.k >= 0) & ~idle
         n_steps_cur = jnp.left_shift(1, st.c_cur)
-        hh = jnp.where(integ, st.h_loc / n_steps_cur.astype(dtype), 0.0)
-        hh1 = _col(hh)
-        vh = st.vt + 0.5 * hh1 * st.gt
-        q2 = st.qt + hh1 * vh
-        lp2, g2 = target.logp_grad(q2)
-        v2 = vh + 0.5 * hh1 * g2
-        h2 = -lp2 + 0.5 * jnp.sum(v2 * v2, axis=-1)
-        i1 = _col(integ)
-        dh2 = jnp.abs(h2 - st.ht)
-        st = st._replace(
-            qt=jnp.where(i1, q2, st.qt),
-            vt=jnp.where(i1, v2, st.vt),
-            gt=jnp.where(i1, g2, st.gt),
-            lpt=jnp.where(integ, lp2, st.lpt),
-            ht=jnp.where(integ, h2, st.ht),
-            dht=jnp.where(integ, jnp.maximum(st.dht, dh2), st.dht),
-            fint=jnp.where(integ & ~jnp.isfinite(h2), 0.0, st.fint),
-            k=jnp.where(integ, st.k + 1, st.k),
-            nev_f=st.nev_f + (integ & (st.phase != BWD)).astype(jnp.int32),
-            nev_b=st.nev_b + (integ & (st.phase == BWD)).astype(jnp.int32),
-            grad_ct=st.grad_ct + integ.astype(jnp.int32),
-        )
+        base = live & (st.k >= 0) & ~idle
+        for _sub in range(micro_unroll):
+            # sub-step 0's k < n_steps guard is a no-op by invariant
+            # (completions reset k before the next round) but keeps
+            # every sub-step identical
+            integ = base & (st.k < n_steps_cur)
+            hh = jnp.where(integ, st.h_loc / n_steps_cur.astype(dtype),
+                           0.0)
+            hh1 = _col(hh)
+            vh = st.vt + 0.5 * hh1 * st.gt
+            q2 = st.qt + hh1 * vh
+            lp2, g2 = target.logp_grad(q2)
+            v2 = vh + 0.5 * hh1 * g2
+            h2 = -lp2 + 0.5 * jnp.sum(v2 * v2, axis=-1)
+            i1 = _col(integ)
+            dh2 = jnp.abs(h2 - st.ht)
+            st = st._replace(
+                qt=jnp.where(i1, q2, st.qt),
+                vt=jnp.where(i1, v2, st.vt),
+                gt=jnp.where(i1, g2, st.gt),
+                lpt=jnp.where(integ, lp2, st.lpt),
+                ht=jnp.where(integ, h2, st.ht),
+                dht=jnp.where(integ, jnp.maximum(st.dht, dh2), st.dht),
+                fint=jnp.where(integ & ~jnp.isfinite(h2), 0.0, st.fint),
+                k=jnp.where(integ, st.k + 1, st.k),
+                nev_f=st.nev_f
+                + (integ & (st.phase != BWD)).astype(jnp.int32),
+                nev_b=st.nev_b
+                + (integ & (st.phase == BWD)).astype(jnp.int32),
+                grad_ct=st.grad_ct + integ.astype(jnp.int32),
+            )
 
         # ------------------------------------------------------------
         # D. trial completion
         # ------------------------------------------------------------
-        t_done = integ & (st.k >= n_steps_cur)
+        # `base`, not the last sub-step's `integ`: with micro_unroll a
+        # chain that hits its trial boundary mid-round is masked out
+        # of later sub-steps but must still resolve its completion
+        t_done = base & (st.k >= n_steps_cur)
         t_fin = st.fint > 0.5
         err_ok = t_fin & (jnp.abs(st.h0s - st.ht) < st.delta_cur)
 
@@ -951,7 +970,8 @@ def _make_round_body(*, target, cfg, warmup, stop_mode, num_iter, R,
 
 @partial(jax.jit, static_argnames=("target", "cfg", "num_iter",
                                    "stop_mode", "warmup", "ring_rows",
-                                   "diag_rows", "rounds", "rng"))
+                                   "diag_rows", "rounds", "rng",
+                                   "micro_unroll"))
 def run_walnuts_fused(key, q0, h_step, delta, *, target,
                       cfg: WalnutsConfig, num_iter: int,
                       stop_mode: str = "per_chain",
@@ -961,9 +981,22 @@ def run_walnuts_fused(key, q0, h_step, delta, *, target,
                       rounds: int = None,
                       mk_state=None,
                       adapt_state=None,
-                      rng: str = "hash"):
-    """Stream WALNUTS transitions with one batched micro step per
-    round.
+                      rng: str = "hash",
+                      micro_unroll: int = 1):
+    """Stream WALNUTS transitions with up to ``micro_unroll`` batched
+    micro steps per round.
+
+    ``micro_unroll`` (K): each loop round advances every integrating
+    chain by up to K back-to-back leapfrog micro steps; only the live
+    trial state is rewritten per sub-step, so the ~35 bookkeeping
+    carries amortise over K gradient evaluations.  A chain whose
+    trial boundary falls mid-round idles the remaining sub-steps
+    (bounded waste < (K-1) steps per trial), so K should stay near
+    the typical trial length 2^c — K=2..4 for adapted WALNUTS, K=1
+    for fixed-leapfrog NUTS (every trial is a single step).  The
+    per-chain hash-RNG stream is keyed by round index, so different K
+    produce different (equally valid) random streams; ``rounds=`` caps
+    and resume semantics are per round, not per micro step.
 
     ``cfg.integrator`` selects the protocol: ``adapt_leapfrog_r2p``
     (randomized two-point, the default), ``adapt_leapfrog_d``
@@ -1150,7 +1183,8 @@ def run_walnuts_fused(key, q0, h_step, delta, *, target,
 
     round_body = _make_round_body(
         target=target, cfg=cfg, warmup=warmup, stop_mode=stop_mode,
-        num_iter=num_iter, R=R, C=C, D=D, dtype=dtype)
+        num_iter=num_iter, R=R, C=C, D=D, dtype=dtype,
+        micro_unroll=micro_unroll)
 
     if rng == "hash":
         # identical seed derivation + keying to the Pallas engine
