@@ -111,6 +111,9 @@ def main():
         return
 
     import jax
+
+    if args.dtype == "float64":
+        jax.config.update("jax_enable_x64", True)
     import jax.numpy as jnp
 
     import walnuts_tpu as wt

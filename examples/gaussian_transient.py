@@ -59,6 +59,9 @@ def main():
     args = ap.parse_args()
 
     import jax
+
+    if args.dtype == "float64":
+        jax.config.update("jax_enable_x64", True)
     import jax.numpy as jnp
 
     import walnuts_tpu as wt
