@@ -43,6 +43,7 @@ DELTA0 = 0.3
 WARMUP = 700       # untimed in-loop megakernel warmup transitions
 ITERS = 300        # timed per-chain draw budget (min_per_chain mode)
 NATIVE_ITERS = 3000
+MICRO_UNROLL = 1   # megakernel micro steps per round (tools/mk_ladder)
 
 # hard wall-clock budgets per phase (seconds); parent enforces them as
 # subprocess timeouts, phases ALSO self-limit slightly below so they
@@ -281,7 +282,7 @@ def timed_phase(cfg_json):
     # round-keyed threefry draws (measured 8.97M vs 8.22M grad/s)
     kw = dict(target=target, cfg=cfg2, num_iter=iters,
               stop_mode="min_per_chain", rounds=6000, diag_rows=8,
-              rng="hash")
+              rng="hash", micro_unroll=MICRO_UNROLL)
 
     def snapshot(stt, dt, want_ess):
         """Build a record from the engine state: exact int64 grad
@@ -301,6 +302,7 @@ def timed_phase(cfg_json):
                 np.asarray(d_t))), 4),
             "device": str(jax.devices()[0]),
             "platform": pc.get("platform", "tpu"),
+            "micro_unroll": MICRO_UNROLL,
         }
         rows = int(min(cnt.min(), iters))
         if want_ess and rows >= 8:

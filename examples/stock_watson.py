@@ -86,8 +86,12 @@ def run_one(args, only):
         c for c in CONFIGS if c[0] == only]
     cfg = wt.WalnutsConfig(m=args.m, integrator=integ,
                            igr=wt.IntegratorConfig(**igr_kw))
-    q0 = 0.1 * jax.random.normal(jax.random.PRNGKey(0), (C, t.dim),
-                                 jnp.float32)
+    # overdispersed honest inits: the non-centered parameterisation's
+    # prior is exactly N(0, I), so prior draws give split-Rhat real
+    # between-chain spread to detect (0.1*normal underdisperses and
+    # can mask non-convergence)
+    q0 = jax.random.normal(jax.random.PRNGKey(0), (C, t.dim),
+                           jnp.float32)
     key = jax.random.PRNGKey(hash(tag) % 2 ** 31)
     h_t = jnp.full((C,), h0, jnp.float32)
     d_t = jnp.full((C,), 0.3, jnp.float32)
