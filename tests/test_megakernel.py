@@ -312,3 +312,38 @@ def test_fused_micro_unroll_statistically_equivalent():
         m1 = outs[1][1][..., col].mean()
         m4 = outs[4][1][..., col].mean()
         assert abs(m1 - m4) < 0.25 + 0.05 * abs(m1), (col, m1, m4)
+
+
+def test_fused_d_protocol_min_c_floor_matches_scan():
+    """adapt_leapfrog_d with min_c=3 (the Stock-Watson headline
+    config, mainSW.py:49): the halving search starts at c=3 and the
+    backward sweep also starts at c=3 — fused engine matches the scan
+    driver's moments and orbit geometry, and never reports c < 3."""
+    t = wt.targets.std_gauss(10)
+    C = 128
+    cfg = wt.WalnutsConfig(
+        m=6, integrator="adapt_leapfrog_d",
+        igr=wt.IntegratorConfig(min_c=3))
+    q0 = jax.random.normal(jax.random.PRNGKey(6), (C, 10), jnp.float64)
+    h = jnp.full((C,), 0.5, jnp.float64)
+    dl = jnp.full((C,), 0.1, jnp.float64)
+    s, d, qf, cnt, ng = run_walnuts_fused(
+        jax.random.PRNGKey(13), q0, h, dl, target=t, cfg=cfg,
+        num_iter=300)
+    x = np.asarray(s)[100:]
+    n_eff = x.shape[0] * x.shape[1] / 8
+    assert abs(x.mean()) < 5 / np.sqrt(n_eff)
+    assert abs(x.std() - 1.0) < 5 * np.sqrt(0.5 / n_eff)
+    d = np.asarray(d)
+    assert np.all(d[..., 21] >= 3)   # c floor respected
+    wu = wt.WarmupConfig(warmup_iter=0, adapt_h=False,
+                         adapt_delta=False)
+    s2, d2, _ = wt.run_walnuts(
+        jax.random.PRNGKey(13), q0, target=t, cfg=cfg, warmup=wu,
+        num_iter=300, h0=0.5, delta0=0.1)
+    d2 = np.asarray(d2)
+    assert np.all(d2[..., 21] >= 3)
+    for col in (1, 20, 8, 9, 21, 22, 14):
+        assert abs(d[..., col].mean() - d2[..., col].mean()) < 0.15, col
+    assert abs(d[..., 6].mean() - d2[..., 6].mean()) < 2.0
+    assert abs(d[..., 7].mean() - d2[..., 7].mean()) < 2.0
