@@ -189,10 +189,15 @@ def warmup_phase(cfg_json):
         s, d, q1, cnt, ng, h_t2, d_t2, adapt, stt = out
         jax.block_until_ready(cnt)
         done = int(np.asarray(cnt).min())
+        # checkpoint after EVERY invocation: a mid-warmup fault (or
+        # the parent's timeout kill) still leaves usable tuning for
+        # the timed phase
+        np.savez(STATE + ".tmp.npz", q=np.asarray(stt.qc),
+                 h=np.asarray(stt.h_cur),
+                 delta=np.asarray(stt.delta_cur),
+                 warmup_done=np.asarray(done))
+        os.replace(STATE + ".tmp.npz", STATE)
         _log(f"warmup {done}/{wu_iters}")
-    np.savez(STATE, q=np.asarray(stt.qc), h=np.asarray(stt.h_cur),
-             delta=np.asarray(stt.delta_cur),
-             warmup_done=np.asarray(done))
 
 
 def native_phase(cfg_json):
