@@ -26,6 +26,7 @@ import json
 import os
 import sys
 import time
+import zlib
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -38,6 +39,27 @@ CONFIGS = [
     ("walnuts_r2p", "adapt_leapfrog_r2p", 0.1, dict(min_c=3), True),
     ("nuts", "fixed_leapfrog", 0.002, dict(), False),
 ]
+
+# bumped whenever the harness semantics change; fragments carry it so
+# a rerun can never silently reuse results from an older harness
+HARNESS_VERSION = 4
+
+
+def _stamp(args, tag):
+    """Config fingerprint stored in (and required of) every fragment."""
+    row, = [c for c in CONFIGS if c[0] == tag]
+    return {
+        "harness_version": HARNESS_VERSION,
+        "tag": tag,
+        "integrator": row[1],
+        "h0": row[2],
+        "igr": row[3],
+        "chains": args.chains,
+        "iters": args.iters,
+        "warmup": args.warmup,
+        "burnin": args.burnin,
+        "m": args.m,
+    }
 
 
 def _stream(key, q0, h_t, d_t, *, target, cfg, num_iter, warmup=None,
@@ -92,7 +114,9 @@ def run_one(args, only):
     # can mask non-convergence)
     q0 = jax.random.normal(jax.random.PRNGKey(0), (C, t.dim),
                            jnp.float32)
-    key = jax.random.PRNGKey(hash(tag) % 2 ** 31)
+    # crc32, not hash(): Python string hashes are salted per process
+    # (PYTHONHASHSEED), which would make every run a different seed
+    key = jax.random.PRNGKey(zlib.crc32(tag.encode()) & 0x7FFFFFFF)
     h_t = jnp.full((C,), h0, jnp.float32)
     d_t = jnp.full((C,), 0.3, jnp.float32)
     t0 = time.perf_counter()
@@ -145,6 +169,7 @@ def run_one(args, only):
         "max_split_rhat_subsampled": float(np.max(rh)),
         "H_final_median": float(np.median(np.asarray(h_t))),
         "delta_final_median": float(np.median(np.asarray(d_t))),
+        "stamp": _stamp(args, tag),
     }
     print(json.dumps({tag: res["bands"]["tau"],
                       "grad_evals": n_grad,
@@ -181,9 +206,16 @@ def main():
         frag = args.out + "." + tag
         if os.path.exists(frag) and not args.fresh:
             with open(frag) as f:
-                runs[tag] = json.load(f)
-            print(f"{tag}: reusing committed fragment")
-            continue
+                cand = json.load(f)
+            # fragments are only reusable if they were produced by
+            # THIS harness version and config (VERDICT r3 weak #3:
+            # stale round-2 fragments silently "passed" a rerun)
+            if cand.get("stamp") == _stamp(args, tag):
+                runs[tag] = cand
+                print(f"{tag}: reusing committed fragment")
+                continue
+            print(f"{tag}: fragment stamp mismatch "
+                  f"(got {cand.get('stamp')}) — regenerating")
         for attempt in (1, 2, 3):
             if attempt > 1:
                 time.sleep(300)   # let a crashed TPU worker recover

@@ -33,8 +33,11 @@ diagnostics) are identical to :mod:`.streaming` / :mod:`.transition`;
 statistical equivalence is tested.  Tuning is either fixed or adapted
 in-loop (``warmup=``: per-chain P2-based H/delta adaptation with
 optional pooled consensus — one invocation covers warmup + sampling).
-Randomness is keyed by the global round counter (same deviation as the
-streaming driver).
+Randomness defaults to ``rng="hash"``: every draw is keyed by (seed,
+global chain id, per-chain counters, purpose) via a splitmix32 counter
+hash — per-chain reproducible across batch compositions and bitwise
+shared with the streaming and Pallas engines.  ``rng="global"`` keeps
+the legacy round-counter threefry keying.
 
 Round-cost design (round 2): profiling the round-1 kernel at
 C=8192, D=101 showed 41% of the 2.1 ms round in the samples/diags
@@ -1075,6 +1078,11 @@ def run_walnuts_fused(key, q0, h_step, delta, *, target,
     C, D = q0.shape
     dtype = q0.dtype
     m = cfg.m
+    if not 1 <= m <= 32:
+        # doubling directions for a transition live in ONE uint32
+        # bitmask per chain (xi_bits); bit shifts past 31 would yield
+        # silently biased directions rather than an error
+        raise ValueError(f"cfg.m must be in [1, 32], got {m}")
     if cfg.integrator not in ("adapt_leapfrog_r2p", "adapt_leapfrog_d",
                               "fixed_leapfrog"):
         raise ValueError(

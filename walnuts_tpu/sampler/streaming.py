@@ -160,6 +160,11 @@ def run_walnuts_streaming(key, q0, h_step, delta, *, target,
     C, D = q0.shape
     dtype = q0.dtype
     m = cfg.m
+    if not 1 <= m <= 32:
+        # direction draws come from one uint32 bitmask per transition
+        # (bits >> arange(m)); m > 32 would shift out of range and
+        # produce silently biased doubling directions
+        raise ValueError(f"cfg.m must be in [1, 32], got {m}")
     sched = build_schedule(m)
     T = sched.n_steps
     S = sched.capacity
