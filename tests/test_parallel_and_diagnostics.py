@@ -120,6 +120,29 @@ def test_mesh2_dim_sharded_matches_single_device():
                                rtol=1e-8, atol=1e-8)
 
 
+def test_diagnostics_bitwise_stable_across_shardings():
+    """BASELINE.json north star: 'bitwise-stable diagnostics' across
+    host/device layouts.  ESS, Rhat and split-Rhat computed on a
+    chain-sharded batch must equal the single-device result BITWISE
+    (not just to tolerance): the FFT autocorrelation and the
+    between/within reductions run per-chain or over a fixed reduction
+    tree, so GSPMD resharding must not change a single bit."""
+    rng = np.random.default_rng(11)
+    draws = jnp.asarray(rng.normal(size=(200, 16, 3)))
+
+    ref = (np.asarray(ess(draws)), np.asarray(rhat(draws)),
+           np.asarray(split_rhat(draws)))
+
+    mesh = make_mesh(8)
+    # shard the CHAIN axis (axis 1 of [iter, chain, dim])
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    sharded = jax.device_put(draws, NamedSharding(mesh, P(None, "chains")))
+    got = (np.asarray(ess(sharded)), np.asarray(rhat(sharded)),
+           np.asarray(split_rhat(sharded)))
+    for a, b, name in zip(ref, got, ("ess", "rhat", "split_rhat")):
+        assert np.array_equal(a, b), (name, a, b)
+
+
 def test_graft_entry_compiles():
     import sys
     sys.path.insert(0, "/root/repo")
