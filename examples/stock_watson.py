@@ -9,14 +9,19 @@ JAX model (``walnuts_tpu.targets.stock_watson``): runs WALNUTS-D
 constrained quantities (sigma, z, x, tau) across samplers.
 
 Engine: the fused megakernel (all three protocols live in its state
-machine since round 3) streamed as ~5 s round-capped invocations —
-in-loop pooled warmup, then a burn-in segment with a tiny ring, then
-the banded sampling segment whose ring holds each chain's first
-``--iters`` post-burn-in draws exactly (``min_per_chain`` stores only
-the first-K rows, so the ring never wraps).  256 chains x 400 draws
-gives ~100k retained draws vs the reference's 11k single-chain run,
-and convergence is asserted with split-Rhat < 1.05 (VERDICT r2 item 2)
-rather than eyeballed.
+machine since round 3) streamed as ~5 s round-capped invocations.
+Protocol (reference parity): the reference runs ``warmupIter=0`` at
+FIXED tuning from a precomputed ``initq.npy`` it does not ship
+(``mainSW.py:32,41-49``); here a deterministic Adam mode search
+regenerates that init, chains start at mode + 0.5-sd jitter, then a
+burn-in segment with a tiny ring, then the banded sampling segment
+whose ring holds each chain's first ``--iters`` post-burn-in draws
+exactly (``min_per_chain`` stores only the first-K rows, so the ring
+never wraps).  Many chains x 400 draws replace the reference's 11k
+single-chain run, and convergence is asserted with split-Rhat < 1.05
+(VERDICT r2 item 2) rather than eyeballed.  ``--warmup N`` optionally
+enables the in-loop pooled H/delta adaptation instead of the
+reference's fixed tuning.
 
 Usage: python examples/stock_watson.py [--chains 256] [--iters 400]
 """
@@ -34,15 +39,61 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np
 
 
+# (tag, integrator, H0, igr kwargs, adaptive, m)
+# m per arm: the U-turn criterion ends SW orbits at span ~5-10 time
+# units, i.e. depth ~6-7 at H0=0.1 — m=10 caps only straggler orbits
+# for the WALNUTS arms; NUTS at H0=0.002 needs 2^m * 0.002 >= that
+# span, so it keeps m=12 (the reference runs everything at M=14,
+# which its own U-turn also never fills at stationarity)
 CONFIGS = [
-    ("walnuts_d", "adapt_leapfrog_d", 0.1, dict(min_c=3), True),
-    ("walnuts_r2p", "adapt_leapfrog_r2p", 0.1, dict(min_c=3), True),
-    ("nuts", "fixed_leapfrog", 0.002, dict(), False),
+    ("walnuts_d", "adapt_leapfrog_d", 0.1, dict(min_c=3), True, 10),
+    ("walnuts_r2p", "adapt_leapfrog_r2p", 0.1, dict(min_c=3), True, 10),
+    ("nuts", "fixed_leapfrog", 0.002, dict(), False, 12),
 ]
 
 # bumped whenever the harness semantics change; fragments carry it so
 # a rerun can never silently reuse results from an older harness
-HARNESS_VERSION = 4
+HARNESS_VERSION = 5
+
+
+def find_mode(t, steps=4000, lr=0.02, polish_steps=0,
+              polish_lr=0.002):
+    """Deterministic posterior-mode search (Adam ascent from the NCP
+    prior mean).  The reference experiment runs ``warmupIter=0`` from
+    a precomputed ``initq.npy`` that is NOT shipped
+    (``mainSW.py:32,41-49``) — this regenerates the missing artifact:
+    chains then start at mode + jitter and sample at the reference's
+    FIXED tuning, exactly like ``mainSW.py``."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    def make_run(opt, n):
+        @jax.jit
+        def run(q0):
+            def step(carry, _):
+                q, st = carry
+                lp, g = t.logp_grad(q)
+                upd, st2 = opt.update(jax.tree_util.tree_map(
+                    lambda x: -x, g), st)
+                return (optax.apply_updates(q, upd), st2), lp
+
+            (q, _), lps = jax.lax.scan(
+                step, (q0, opt.init(q0)), None, length=n)
+            return q, lps[-1]
+
+        return run
+
+    q, lp = make_run(optax.adam(lr), steps)(
+        jnp.zeros((t.dim,), jnp.float32))
+    if polish_steps:
+        # NOTE: polishing climbs into a steep high-density ridge
+        # (grad norm explodes ~200x while lp rises) — the SW
+        # log-volatility hierarchy concentrates density away from the
+        # typical set, so a *gentle* stationary-ish point is the
+        # better chain init; keep polish off by default
+        q, lp = make_run(optax.adam(polish_lr), polish_steps)(q)
+    return q, float(lp)
 
 
 def _stamp(args, tag):
@@ -58,7 +109,7 @@ def _stamp(args, tag):
         "iters": args.iters,
         "warmup": args.warmup,
         "burnin": args.burnin,
-        "m": args.m,
+        "m": row[5] if args.m == 0 else args.m,
     }
 
 
@@ -104,16 +155,21 @@ def run_one(args, only):
     t = wt.targets.stock_watson()
     T = 252
     C = args.chains
-    (tag, integ, h0, igr_kw, adapt), = [
+    (tag, integ, h0, igr_kw, adapt, m_arm), = [
         c for c in CONFIGS if c[0] == only]
-    cfg = wt.WalnutsConfig(m=args.m, integrator=integ,
+    m = m_arm if args.m == 0 else args.m
+    cfg = wt.WalnutsConfig(m=m, integrator=integ,
                            igr=wt.IntegratorConfig(**igr_kw))
-    # overdispersed honest inits: the non-centered parameterisation's
-    # prior is exactly N(0, I), so prior draws give split-Rhat real
-    # between-chain spread to detect (0.1*normal underdisperses and
-    # can mask non-convergence)
-    q0 = jax.random.normal(jax.random.PRNGKey(0), (C, t.dim),
-                           jnp.float32)
+    # reference-parity inits: mode + jitter (mainSW.py loads a
+    # precomputed initq.npy and runs warmupIter=0; prior draws were
+    # tried in r3/r4 and make the warmup gate on a handful of
+    # pathological tail chains whose transitions cost ~100k gradient
+    # evaluations each).  The 0.5-sd jitter is real dispersion on the
+    # NCP's O(1)-scale coordinates; split-Rhat stays the arbiter.
+    mode, mode_lp = find_mode(t)
+    print(f"{tag}: mode logp {mode_lp:.1f}", flush=True)
+    q0 = mode[None, :] + 0.5 * jax.random.normal(
+        jax.random.PRNGKey(0), (C, t.dim), jnp.float32)
     # crc32, not hash(): Python string hashes are salted per process
     # (PYTHONHASHSEED), which would make every run a different seed
     key = jax.random.PRNGKey(zlib.crc32(tag.encode()) & 0x7FFFFFFF)
@@ -185,9 +241,12 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--chains", type=int, default=256)
     ap.add_argument("--iters", type=int, default=400)
-    ap.add_argument("--warmup", type=int, default=2000)
+    # default 0 = the reference experiment's fixed-tuning protocol
+    # (mainSW.py: warmupIter=0, H0/delta0 as given); pass >0 to adapt
+    ap.add_argument("--warmup", type=int, default=0)
     ap.add_argument("--burnin", type=int, default=500)
-    ap.add_argument("--m", type=int, default=12)
+    ap.add_argument("--m", type=int, default=0,
+                    help="0 = per-arm default from CONFIGS")
     ap.add_argument("--out", default="examples/out_stock_watson.json")
     ap.add_argument("--only", default=None)
     ap.add_argument("--fresh", action="store_true",
