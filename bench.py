@@ -43,7 +43,8 @@ DELTA0 = 0.3
 WARMUP = 700       # untimed in-loop megakernel warmup transitions
 ITERS = 300        # timed per-chain draw budget (min_per_chain mode)
 NATIVE_ITERS = 3000
-MICRO_UNROLL = 1   # megakernel micro steps per round (tools/mk_ladder)
+MICRO_UNROLL = 4   # measured best rung on TPU v5e (tools/ladder_tpu_r4.json:
+                   # K=1 10.9M, K=2 13.1M, K=4 13.3M, K=8 13.0M grad/s)
 
 # hard wall-clock budgets per phase (seconds); parent enforces them as
 # subprocess timeouts, phases ALSO self-limit slightly below so they
