@@ -125,6 +125,10 @@ def main():
     ap.add_argument("--one", default=None,
                     help="log2d:integrator (subprocess mode)")
     ap.add_argument("--frag", default=None)
+    ap.add_argument("--merge-from", default=None,
+                    help="existing output whose rows below 2^dmin are "
+                         "kept (extend a committed partial sweep to "
+                         "the top dims without re-running the bottom)")
     args = ap.parse_args()
 
     if args.one is not None:
@@ -135,6 +139,12 @@ def main():
 
     me = os.path.abspath(__file__)
     results = []
+    if args.merge_from:
+        with open(args.merge_from) as f:
+            results = [r for r in json.load(f)["rows"]
+                       if r["d"] < 2 ** args.dmin]
+        print(f"merged {len(results)} rows < 2^{args.dmin} "
+              f"from {args.merge_from}")
     for log2d in range(args.dmin, args.dmax + 1):
         d = 2**log2d
         row = {"d": d, "H": 1.4 * d**-0.25}

@@ -10,18 +10,32 @@ constrained quantities (sigma, z, x, tau) across samplers.
 
 Engine: the fused megakernel (all three protocols live in its state
 machine since round 3) streamed as ~5 s round-capped invocations.
-Protocol (reference parity): the reference runs ``warmupIter=0`` at
-FIXED tuning from a precomputed ``initq.npy`` it does not ship
-(``mainSW.py:32,41-49``); here a deterministic Adam mode search
-regenerates that init, chains start at mode + 0.5-sd jitter, then a
-burn-in segment with a tiny ring, then the banded sampling segment
-whose ring holds each chain's first ``--iters`` post-burn-in draws
-exactly (``min_per_chain`` stores only the first-K rows, so the ring
-never wraps).  Many chains x 400 draws replace the reference's 11k
-single-chain run, and convergence is asserted with split-Rhat < 1.05
-(VERDICT r2 item 2) rather than eyeballed.  ``--warmup N`` optionally
-enables the in-loop pooled H/delta adaptation instead of the
-reference's fixed tuning.
+
+**Model choice (round-4 discovery).** The reference model as shipped
+has an IMPROPER posterior: ``sw_innov.stan:40-42`` comments out the
+initial-state priors, leaving the density exactly flat as
+``z1 -> -inf`` (see ``walnuts_tpu/targets/stock_watson.py`` and
+``tests/test_targets.py::test_stock_watson_reference_model_has_flat_z1_tail``).
+Multi-chain z traces drift apart forever (measured cross-chain z sd
+~113 after 4000 transitions), so no sampler can pass a split-Rhat
+gate on it — the reference's single 11k-draw chain simply wandered
+slowly from its unshipped ``initq.npy`` start.  The gated artifact
+therefore runs ``stock_watson(proper=True)`` (the commented-out
+N(0,1) priors restored); ``--model reference`` runs the verbatim
+improper model for an UNGATED parity arm on the identified
+quantities (sigma, x, tau).
+
+Protocol: the reference runs ``warmupIter=0`` at FIXED tuning
+(``mainSW.py:41-49``); chains start at Stan's default unconstrained
+init ``U(-2, 2)``, then a burn-in segment with a tiny ring, then the
+banded sampling segment whose ring holds each chain's first
+``--iters`` post-burn-in draws exactly (``min_per_chain`` stores only
+the first-K rows, so the ring never wraps).  Many chains replace the
+reference's 11k single-chain run, and convergence is asserted with
+split-Rhat < 1.05 (VERDICT r2 item 2) rather than eyeballed.
+``--warmup N`` optionally enables the in-loop pooled H/delta
+adaptation instead of the reference's fixed tuning; ``--init mode``
+keeps the round-4 Adam mode-search init.
 
 Usage: python examples/stock_watson.py [--chains 256] [--iters 400]
 """
@@ -53,7 +67,7 @@ CONFIGS = [
 
 # bumped whenever the harness semantics change; fragments carry it so
 # a rerun can never silently reuse results from an older harness
-HARNESS_VERSION = 5
+HARNESS_VERSION = 6
 
 
 def find_mode(t, steps=4000, lr=0.02, polish_steps=0,
@@ -110,6 +124,8 @@ def _stamp(args, tag):
         "warmup": args.warmup,
         "burnin": args.burnin,
         "m": row[5] if args.m == 0 else args.m,
+        "model": args.model,
+        "init": args.init,
     }
 
 
@@ -152,7 +168,7 @@ def run_one(args, only):
     import walnuts_tpu as wt
     from walnuts_tpu.diagnostics import split_rhat
 
-    t = wt.targets.stock_watson()
+    t = wt.targets.stock_watson(proper=(args.model == "proper"))
     T = 252
     C = args.chains
     (tag, integ, h0, igr_kw, adapt, m_arm), = [
@@ -160,16 +176,22 @@ def run_one(args, only):
     m = m_arm if args.m == 0 else args.m
     cfg = wt.WalnutsConfig(m=m, integrator=integ,
                            igr=wt.IntegratorConfig(**igr_kw))
-    # reference-parity inits: mode + jitter (mainSW.py loads a
-    # precomputed initq.npy and runs warmupIter=0; prior draws were
-    # tried in r3/r4 and make the warmup gate on a handful of
-    # pathological tail chains whose transitions cost ~100k gradient
-    # evaluations each).  The 0.5-sd jitter is real dispersion on the
-    # NCP's O(1)-scale coordinates; split-Rhat stays the arbiter.
-    mode, mode_lp = find_mode(t)
-    print(f"{tag}: mode logp {mode_lp:.1f}", flush=True)
-    q0 = mode[None, :] + 0.5 * jax.random.normal(
-        jax.random.PRNGKey(0), (C, t.dim), jnp.float32)
+    if args.init == "mode":
+        # round-4 experiment: Adam mode search + 0.5-sd jitter.  On
+        # the improper reference model the "mode" is ill-defined (the
+        # z1 direction is flat) and on hierarchical NCPs the MAP
+        # collapses the scales toward the funnel neck — kept only as
+        # an option for protocol comparisons.
+        mode, mode_lp = find_mode(t)
+        print(f"{tag}: mode logp {mode_lp:.1f}", flush=True)
+        q0 = mode[None, :] + 0.5 * jax.random.normal(
+            jax.random.PRNGKey(0), (C, t.dim), jnp.float32)
+    else:
+        # Stan's default unconstrained init: iid U(-2, 2) — genuinely
+        # overdispersed for the O(1)-scale NCP coordinates without
+        # planting chains in the prior's pathological tails
+        q0 = jax.random.uniform(jax.random.PRNGKey(0), (C, t.dim),
+                                jnp.float32, -2.0, 2.0)
     # crc32, not hash(): Python string hashes are salted per process
     # (PYTHONHASHSEED), which would make every run a different seed
     key = jax.random.PRNGKey(zlib.crc32(tag.encode()) & 0x7FFFFFFF)
@@ -247,6 +269,13 @@ def main():
     ap.add_argument("--burnin", type=int, default=500)
     ap.add_argument("--m", type=int, default=0,
                     help="0 = per-arm default from CONFIGS")
+    ap.add_argument("--model", default="proper",
+                    choices=["proper", "reference"],
+                    help="'proper' restores the sw_innov.stan:40-42 "
+                         "commented-out priors (gated artifact); "
+                         "'reference' is the verbatim improper model "
+                         "(ungated parity arm)")
+    ap.add_argument("--init", default="stan", choices=["stan", "mode"])
     ap.add_argument("--out", default="examples/out_stock_watson.json")
     ap.add_argument("--only", default=None)
     ap.add_argument("--fresh", action="store_true",
@@ -282,7 +311,8 @@ def main():
                 [sys.executable, me, "--chains", str(args.chains),
                  "--iters", str(args.iters), "--warmup",
                  str(args.warmup), "--burnin", str(args.burnin),
-                 "--m", str(args.m), "--out", args.out,
+                 "--m", str(args.m), "--model", args.model,
+                 "--init", args.init, "--out", args.out,
                  "--only", tag])
             if r.returncode == 0:
                 break
@@ -299,6 +329,8 @@ def main():
                    for q in ("q10", "q50", "q90"))
 
     res = {
+        "model": args.model,
+        "init": args.init,
         "runs": runs,
         "band_gap_walnutsD_vs_r2p": band_gap("walnuts_d", "walnuts_r2p"),
         "band_gap_walnutsD_vs_nuts": band_gap("walnuts_d", "nuts"),
@@ -311,7 +343,10 @@ def main():
     with open(tmp, "w") as f:
         json.dump(res, f, indent=1, default=float)
     os.replace(tmp, args.out)
-    if res["max_split_rhat_all"] >= 1.05:
+    if args.model == "reference":
+        print("NOTE: reference model is improper in z1 "
+              "(sw_innov.stan:40-42) — split-Rhat gate not applied")
+    elif res["max_split_rhat_all"] >= 1.05:
         raise SystemExit("FAIL: a sampler has split-Rhat >= 1.05")
 
 

@@ -90,3 +90,31 @@ def test_stock_watson_generated_dim():
     q = jnp.zeros((2, t.dim))
     gen = t.generated(q)
     assert gen.shape == (2, t.generated_dim)
+
+
+def test_stock_watson_reference_model_has_flat_z1_tail():
+    """The reference ``sw_innov.stan`` ships with the initial-state
+    priors commented out (``sw_innov.stan:40-42``), which leaves the
+    density EXACTLY flat as z1 -> -inf (tau freezes at tau1, the
+    likelihood tends to a positive constant): the posterior is
+    improper and multi-chain convergence gates are unpassable on it.
+    ``proper=True`` restores the commented-out N(0,1) priors and
+    kills the flat tail."""
+    t_ref = targets.stock_watson()
+    t_prop = targets.stock_watson(proper=True)
+    rng = np.random.default_rng(0)
+    q = jnp.asarray(rng.normal(size=t_ref.dim) * 0.5, jnp.float64)
+    q = q.at[1].set(-130.0)          # z1 deep in the tail
+    q2 = q.at[1].add(-900.0)         # 900 further out
+    lp_a, lp_b = float(t_ref.logp(q)), float(t_ref.logp(q2))
+    assert lp_a == lp_b, "reference tail must be exactly flat"
+    # the proper variant decays quadratically in z1
+    dp = float(t_prop.logp(q)) - float(t_prop.logp(q2))
+    expect = 0.5 * (1030.0**2 - 130.0**2)
+    np.testing.assert_allclose(dp, expect, rtol=1e-6)
+    # and near the origin the two models differ only by the prior term
+    q0 = jnp.asarray(rng.normal(size=t_ref.dim) * 0.1, jnp.float64)
+    z1, x1, tau1 = float(q0[1]), float(q0[252]), float(q0[504])
+    d = float(t_ref.logp(q0)) - float(t_prop.logp(q0))
+    expect0 = 0.5 * (z1**2 + x1**2 + tau1**2 + 3 * np.log(2 * np.pi))
+    np.testing.assert_allclose(d, expect0, rtol=1e-6)

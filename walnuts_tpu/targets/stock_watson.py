@@ -22,6 +22,25 @@ Model::
     target  += 5*tSigma - exp(tSigma)/2
              + sum N(zinn|0,1) + sum N(xinn|0,1) + sum N(tauinn|0,1)
              + sum N(y_t | tau_t, exp(x_t/2))
+
+**The reference model as shipped has an IMPROPER posterior.**
+``sw_innov.stan:40-42`` comments out the initial-state priors
+(``//z1 ~ normal(0.0, 1.0); // to be removed`` etc.), leaving ``z1``
+with no prior at all.  As ``z1 -> -inf`` every ``exp(z_t/2) -> 0``,
+``tau`` freezes at ``tau1``, and the likelihood tends to the constant
+``prod_t N(y_t | tau1, exp(x_t/2)) > 0`` — the density is exactly
+flat in that direction (verified numerically: ``logp`` is bitwise
+identical at ``z1 = -130`` and ``z1 = -1030``), so ``int dz1``
+diverges.  Multi-chain runs therefore drift apart forever on the
+``z`` block (measured: cross-chain z sd ~ 113 and growing after 4000
+transitions) and NO sampler can pass a split-Rhat gate on it; the
+reference's own single 11k-draw chain merely wandered slowly from its
+(unshipped) ``initq.npy`` start.  ``stock_watson(proper=True)``
+restores exactly the three commented-out N(0,1) priors, which makes
+the posterior proper; the gated convergence artifact
+(``examples/stock_watson.py``) runs that variant and keeps a
+reference-parity arm on the improper model for the identified
+quantities.
 """
 
 import json
@@ -76,7 +95,10 @@ def _states(q, T):
     return t_sigma, z, x, tau, (zinn, xinn, tauinn)
 
 
-def stock_watson(data_path=None) -> Target:
+def stock_watson(data_path=None, proper=False) -> Target:
+    """``proper=False`` is the reference model verbatim (improper
+    posterior, see module docstring); ``proper=True`` restores the
+    z1/x1/tau1 ~ N(0,1) priors of ``sw_innov.stan:40-42``."""
     T, y_np = load_sw_data(data_path)
     y = jnp.asarray(y_np)
     dim = 3 * T
@@ -84,6 +106,10 @@ def stock_watson(data_path=None) -> Target:
     def logp_batched(q):
         t_sigma, z, x, tau, (zinn, xinn, tauinn) = _states(q, T)
         lp = 5.0 * t_sigma - 0.5 * jnp.exp(t_sigma)
+        if proper:
+            z1, x1, tau1 = q[..., 1], q[..., T], q[..., 2 * T]
+            lp = lp - 0.5 * (z1 * z1 + x1 * x1 + tau1 * tau1
+                             + 3.0 * _LOG_2PI)
         n_inn = (T - 2) + 2 * (T - 1)
         lp = lp - 0.5 * (
             jnp.sum(zinn * zinn, axis=-1)
@@ -107,4 +133,6 @@ def stock_watson(data_path=None) -> Target:
         sigma = jnp.exp(-0.5 * t_sigma)
         return jnp.concatenate([sigma[..., None], z, x, tau], axis=-1)
 
-    return Target(logp, dim, name=f"stock_watson_T{T}", generated=generated)
+    suffix = "_proper" if proper else ""
+    return Target(logp, dim, name=f"stock_watson_T{T}{suffix}",
+                  generated=generated)
