@@ -26,16 +26,23 @@ improper model for an UNGATED parity arm on the identified
 quantities (sigma, x, tau).
 
 Protocol: the reference runs ``warmupIter=0`` at FIXED tuning
-(``mainSW.py:41-49``); chains start at Stan's default unconstrained
-init ``U(-2, 2)``, then a burn-in segment with a tiny ring, then the
-banded sampling segment whose ring holds each chain's first
-``--iters`` post-burn-in draws exactly (``min_per_chain`` stores only
-the first-K rows, so the ring never wraps).  Many chains replace the
-reference's 11k single-chain run, and convergence is asserted with
-split-Rhat < 1.05 (VERDICT r2 item 2) rather than eyeballed.
-``--warmup N`` optionally enables the in-loop pooled H/delta
-adaptation instead of the reference's fixed tuning; ``--init mode``
-keeps the round-4 Adam mode-search init.
+(``mainSW.py:41-49``) from a precomputed ``initq.npy`` start that is
+NOT shipped; ``--init mode`` (the default) regenerates that missing
+artifact with a deterministic Adam mode search + 0.5-sd jitter.  Stan's
+default ``U(-2, 2)`` unconstrained init (``--init stan``) is measurably
+unusable on this model: iid +-2 draws on the ~750 innovation
+coordinates compound through the state cumsums to ``|z| ~ 30-50``, so
+``exp(z/2)`` reaches 1e6-1e11, tau blows up to ~1e11, and every chain
+freezes in the flat far tail (probed: split-Rhat 2.8e9, tau window
+means pinned at -9.3e10 for 2000 transitions) — which is exactly why
+the reference precomputed an init.  After init, a burn-in segment with
+a tiny ring, then the banded sampling segment whose ring holds each
+chain's first ``--iters`` post-burn-in draws exactly
+(``min_per_chain`` stores only the first-K rows, so the ring never
+wraps).  Many chains replace the reference's 11k single-chain run, and
+convergence is asserted with split-Rhat < 1.05 (VERDICT r2 item 2)
+rather than eyeballed.  ``--warmup N`` optionally enables the in-loop
+pooled H/delta adaptation instead of the reference's fixed tuning.
 
 Usage: python examples/stock_watson.py [--chains 256] [--iters 400]
 """
@@ -177,19 +184,21 @@ def run_one(args, only):
     cfg = wt.WalnutsConfig(m=m, integrator=integ,
                            igr=wt.IntegratorConfig(**igr_kw))
     if args.init == "mode":
-        # round-4 experiment: Adam mode search + 0.5-sd jitter.  On
-        # the improper reference model the "mode" is ill-defined (the
-        # z1 direction is flat) and on hierarchical NCPs the MAP
-        # collapses the scales toward the funnel neck — kept only as
-        # an option for protocol comparisons.
+        # default protocol: Adam mode search + 0.5-sd jitter — the
+        # regenerated equivalent of the reference's unshipped
+        # initq.npy (mainSW.py:32).  On the improper reference model
+        # the "mode" is ill-defined in the flat z1 direction but the
+        # gentle (unpolished) Adam point is still a sane start.
         mode, mode_lp = find_mode(t)
         print(f"{tag}: mode logp {mode_lp:.1f}", flush=True)
         q0 = mode[None, :] + 0.5 * jax.random.normal(
             jax.random.PRNGKey(0), (C, t.dim), jnp.float32)
     else:
-        # Stan's default unconstrained init: iid U(-2, 2) — genuinely
-        # overdispersed for the O(1)-scale NCP coordinates without
-        # planting chains in the prior's pathological tails
+        # Stan's default unconstrained init, kept for the record: iid
+        # U(-2, 2) on the raw innovations compounds through the state
+        # cumsums to |z| ~ 30-50, exp(z/2) ~ 1e6-1e11 — chains start
+        # frozen in the flat far tail and never recover (see module
+        # docstring).  Do not use for the gated artifact.
         q0 = jax.random.uniform(jax.random.PRNGKey(0), (C, t.dim),
                                 jnp.float32, -2.0, 2.0)
     # crc32, not hash(): Python string hashes are salted per process
@@ -275,7 +284,7 @@ def main():
                          "commented-out priors (gated artifact); "
                          "'reference' is the verbatim improper model "
                          "(ungated parity arm)")
-    ap.add_argument("--init", default="stan", choices=["stan", "mode"])
+    ap.add_argument("--init", default="mode", choices=["stan", "mode"])
     ap.add_argument("--out", default="examples/out_stock_watson.json")
     ap.add_argument("--only", default=None)
     ap.add_argument("--fresh", action="store_true",
