@@ -347,3 +347,37 @@ def test_fused_d_protocol_min_c_floor_matches_scan():
         assert abs(d[..., col].mean() - d2[..., col].mean()) < 0.15, col
     assert abs(d[..., 6].mean() - d2[..., 6].mean()) < 2.0
     assert abs(d[..., 7].mean() - d2[..., 7].mean()) < 2.0
+
+
+def test_fused_round_unroll_same_stream():
+    """round_unroll chains U full round bodies per fori iteration —
+    identical algorithm and RNG stream, different XLA program.  Over
+    one flush period the integer control-flow state must match
+    EXACTLY (same trials, same completions, same draw counts) and the
+    float state to fp-reassociation tolerance (different programs
+    reassociate reductions; measured deltas are last-ulp)."""
+    t = wt.targets.funnel(5, generated=lambda q: q[..., :1])
+    C = 16
+    q0 = 0.3 * jax.random.normal(jax.random.PRNGKey(0), (C, 5),
+                                 jnp.float32)
+    h = jnp.full((C,), 0.3, jnp.float32)
+    dl = jnp.full((C,), 0.3, jnp.float32)
+    kw = dict(target=t, cfg=wt.WalnutsConfig(m=6), num_iter=1 << 30,
+              stop_mode="min_per_chain", ring_rows=8, diag_rows=8,
+              rng="hash", rounds=16)
+    states = {}
+    for U in (1, 4):
+        *_, stt = run_walnuts_fused(jax.random.PRNGKey(2), q0, h, dl,
+                                    round_unroll=U, **kw)
+        states[U] = stt
+    a, b = states[1], states[4]
+    assert int(np.asarray(a.n)) == int(np.asarray(b.n))
+    for f in ("it", "t", "k", "phase", "c_cur", "i_f", "c_sim",
+              "grad_ct", "stop_code", "n_states", "sel_l", "a_abs",
+              "b_abs", "xi_bits"):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(a, f)), np.asarray(getattr(b, f)), f)
+    for f in ("qc", "qt", "qp", "qm", "h_cur", "delta_cur"):
+        np.testing.assert_allclose(
+            np.asarray(getattr(a, f)), np.asarray(getattr(b, f)),
+            rtol=2e-4, atol=2e-6, err_msg=f)

@@ -27,6 +27,10 @@ def main():
     ap.add_argument("--seconds", type=float, default=20.0)
     ap.add_argument("--warmup-iters", type=int, default=200)
     ap.add_argument("--ks", type=int, nargs="+", default=[1, 2, 4, 8])
+    ap.add_argument("--rus", type=int, nargs="+", default=[1],
+                    help="round_unroll values to cross with --ks "
+                         "(full-body unroll; bitwise-identical "
+                         "stream, pure XLA fusion lever)")
     ap.add_argument("--rounds", type=int, default=2500)
     args = ap.parse_args()
 
@@ -63,9 +67,11 @@ def main():
     }), flush=True)
 
     for K in args.ks:
+      for U in args.rus:
         kw2 = dict(target=target, cfg=cfg, num_iter=1 << 30,
                    stop_mode="min_per_chain", ring_rows=8, diag_rows=8,
-                   rng="hash", rounds=args.rounds, micro_unroll=K)
+                   rng="hash", rounds=args.rounds, micro_unroll=K,
+                   round_unroll=U)
         # compile fresh + resume variants before timing
         out = run_walnuts_fused(jax.random.PRNGKey(2), q1, h_t, d_t,
                                 **kw2)
@@ -90,6 +96,7 @@ def main():
         rounds = max(n1 - n0, 1)
         print(json.dumps({
             "K": K,
+            "RU": U,
             "grad_evals_per_s": round((g1 - g0) / dt, 1),
             "rounds_per_s": round(rounds / dt, 1),
             "grads_per_round_per_chain": round(

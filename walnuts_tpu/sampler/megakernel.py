@@ -974,7 +974,7 @@ def _make_round_body(*, target, cfg, warmup, stop_mode, num_iter, R,
 @partial(jax.jit, static_argnames=("target", "cfg", "num_iter",
                                    "stop_mode", "warmup", "ring_rows",
                                    "diag_rows", "rounds", "rng",
-                                   "micro_unroll"))
+                                   "micro_unroll", "round_unroll"))
 def run_walnuts_fused(key, q0, h_step, delta, *, target,
                       cfg: WalnutsConfig, num_iter: int,
                       stop_mode: str = "per_chain",
@@ -985,7 +985,8 @@ def run_walnuts_fused(key, q0, h_step, delta, *, target,
                       mk_state=None,
                       adapt_state=None,
                       rng: str = "hash",
-                      micro_unroll: int = 1):
+                      micro_unroll: int = 1,
+                      round_unroll: int = 1):
     """Stream WALNUTS transitions with up to ``micro_unroll`` batched
     micro steps per round.
 
@@ -1260,9 +1261,32 @@ def run_walnuts_fused(key, q0, h_step, delta, *, target,
                     st.h_cur))
         return st
 
+    # round_unroll (U): chain U complete round bodies inside one
+    # fori_loop iteration.  Draws are keyed by the absolute round
+    # counter st.n (incremented inside the body), so ANY U consumes
+    # the identical RNG stream and runs the identical algorithm —
+    # unlike micro_unroll, this is purely an XLA scheduling hint: the
+    # compiler fuses producer->consumer chains across the unrolled
+    # bodies, so the ~25 [C, D] carries + the [C, S, D] slab can stay
+    # in registers across U rounds instead of round-tripping HBM
+    # every round (the round is ~98% bookkeeping state traffic by the
+    # tools/mk_ladder.py measurements).  Different U values are
+    # different XLA programs, so results match only to fp rounding
+    # (reassociated reductions) — measured last-ulp state deltas,
+    # same class of variation as switching backends.
+    if round_unroll < 1 or _FLUSH_EVERY % round_unroll != 0:
+        raise ValueError(
+            f"round_unroll must divide _FLUSH_EVERY={_FLUSH_EVERY}, "
+            f"got {round_unroll}")
+
     def outer_body(st):
-        st = jax.lax.fori_loop(0, _FLUSH_EVERY, lambda i, s: body(s),
-                               st)
+        def fused(i, s):
+            for _ in range(round_unroll):
+                s = body(s)
+            return s
+
+        st = jax.lax.fori_loop(0, _FLUSH_EVERY // round_unroll,
+                               fused, st)
         return flush(st)
 
     # termination is checked once per flush period; the <=15 extra
