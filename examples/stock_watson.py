@@ -160,9 +160,16 @@ def _stamp(args, tag):
 
 
 def _stream(key, q0, h_t, d_t, *, target, cfg, num_iter, warmup=None,
-            ring_rows=None, rounds=2500, max_inv=2000, tag="",
+            ring_rows=None, rounds=2500, max_inv=None, tag="",
             log_every=20):
-    """One logical megakernel run as round-capped invocations."""
+    """One logical megakernel run as round-capped invocations.
+
+    ``max_inv`` scales with the draw quota: SW transitions average
+    ~2000 rounds each (deep m=10 orbits of min_c=3 trials), so a
+    2500-round invocation advances the slowest chain by ~1 draw — a
+    fixed cap would silently truncate long runs (caught live in r5:
+    a 6000-draw stream would have stopped at ~1800 draws and left
+    the rest of the ring zero-filled)."""
     import jax
     import numpy as np
 
@@ -175,6 +182,8 @@ def _stream(key, q0, h_t, d_t, *, target, cfg, num_iter, warmup=None,
         kw["warmup"] = warmup
     if ring_rows is not None:
         kw["ring_rows"] = ring_rows
+    if max_inv is None:
+        max_inv = 2000 + 3 * num_iter
     stt = None
     for i in range(max_inv):
         out = run_walnuts_fused(key, q0, h_t, d_t, mk_state=stt, **kw)
@@ -250,6 +259,11 @@ def run_one(args, only):
 
     stt = _stream(jax.random.fold_in(key, 2), q0, h_t, d_t, target=t,
                   cfg=cfg, num_iter=arm_iters, tag=tag + ":sample")
+    got = int(np.asarray(stt.it).min())
+    if got < arm_iters:
+        raise SystemExit(
+            f"{tag}: sample stream truncated at {got}/{arm_iters} "
+            "draws — refusing to write a zero-padded fragment")
     n_grad += int(np.asarray(stt.grad_ct, np.int64).sum())
     dt = time.perf_counter() - t0
 

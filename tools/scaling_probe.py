@@ -1,0 +1,186 @@
+"""Distributed throughput-scaling probe: samples/s at 1 vs 2
+processes (VERDICT r4 item 5; BASELINE.json multi-host scaling row).
+
+Real multi-host TPU hardware is not reachable from this environment,
+so this measures the closest attainable stand-in: WEAK scaling of the
+fused megakernel over ``jax.distributed`` CPU processes on one host,
+with identical pinned CPU resources per process (``taskset``: the
+1-process run gets the same 2 cores as each of the 2 processes), a
+fixed per-process chain count, and the identical chain-sharded
+program a multi-host TPU slice would run
+(``parallel/mesh.py:distributed_init`` + global ``Mesh`` +
+sharding-propagated ``jit``).
+
+Why near-linear scaling is the expected result (and what the probe
+verifies): the megakernel hot loop is embarrassingly chain-parallel —
+every round is masked elementwise math over ``[C]``/``[C, D]`` state
+with NO cross-chain reduction; the only collectives in the whole
+timed program are the loop-termination check (``jnp.any(it <
+num_iter)``, one all-reduce of ONE bool per flush period of 16
+rounds) and, when pooled warmup is on, the per-flush consensus
+median.  Everything else rides per-device.  On a real slice those
+two collectives are sub-microsecond ICI psums; here they cross local
+TCP, making this probe's efficiency a LOWER bound on the hardware's.
+
+Writes ``tools/scaling_cpu_2proc.json``.
+
+Usage: python tools/scaling_probe.py [--chains-per-proc 128]
+"""
+
+import argparse
+import json
+import os
+import socket
+import subprocess
+import sys
+import time
+
+_WORKER = r"""
+import os, sys, time, json
+pid = int(sys.argv[1]); nproc = int(sys.argv[2]); port = sys.argv[3]
+cpp = int(sys.argv[4]); iters = int(sys.argv[5]); dim = int(sys.argv[6])
+sys.path.insert(0, os.getcwd())
+
+import jax
+from walnuts_tpu.parallel.mesh import distributed_init, make_mesh
+
+if nproc > 1:
+    distributed_init(coordinator="127.0.0.1:" + port,
+                     num_processes=nproc, process_id=pid)
+
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+import walnuts_tpu as wt
+from walnuts_tpu.sampler.megakernel import run_walnuts_fused
+
+C = cpp * nproc
+mesh = make_mesh(nproc)
+sh = NamedSharding(mesh, P("chains", None))
+sh1 = NamedSharding(mesh, P("chains"))
+
+t = wt.targets.funnel(dim, generated=lambda q: q[..., :1])
+rng = np.random.default_rng(0)
+local = 0.3 * rng.standard_normal((cpp, dim)).astype(np.float32)
+q0 = jax.make_array_from_single_device_arrays(
+    (C, dim), sh, [jax.device_put(local, jax.local_devices()[0])])
+h = jax.make_array_from_single_device_arrays(
+    (C,), sh1, [jax.device_put(np.full(cpp, 0.3, np.float32),
+                               jax.local_devices()[0])])
+d = jax.make_array_from_single_device_arrays(
+    (C,), sh1, [jax.device_put(np.full(cpp, 0.3, np.float32),
+                               jax.local_devices()[0])])
+
+kw = dict(target=t, cfg=wt.WalnutsConfig(m=6), num_iter=iters,
+          stop_mode="min_per_chain", ring_rows=8, diag_rows=8,
+          rng="hash")
+
+# compile + execute once (also converges the caches), then barrier
+out = run_walnuts_fused(jax.random.PRNGKey(1), q0, h, d, **kw)
+jax.block_until_ready(out[0])
+
+from jax.experimental.shard_map import shard_map
+bar = jax.jit(shard_map(lambda x: jax.lax.psum(jnp.sum(x), "chains"),
+                        mesh=mesh, in_specs=P("chains"), out_specs=P()))
+jax.block_until_ready(bar(h))
+
+t0 = time.perf_counter()
+out = run_walnuts_fused(jax.random.PRNGKey(2), q0, h, d, **kw)
+jax.block_until_ready(out[0])
+dt = time.perf_counter() - t0
+n_grad = int(np.asarray(
+    jax.jit(lambda g: jnp.sum(g.astype(jnp.float64)))(out[4])))
+if pid == 0:
+    print(json.dumps({
+        "nproc": nproc, "chains_global": C, "iters": iters,
+        "seconds": round(dt, 3),
+        "draws_per_s": round(C * iters / dt, 2),
+        "grad_evals_per_s": round(n_grad / dt, 1),
+    }), flush=True)
+"""
+
+
+def run_config(nproc, cpp, iters, dim, cores_per_proc):
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+    script = "/tmp/scaling_worker.py"
+    with open(script, "w") as f:
+        f.write(_WORKER)
+    env = dict(os.environ)
+    env.update({
+        "JAX_PLATFORMS": "cpu",
+        "PALLAS_AXON_POOL_IPS": "",
+        "XLA_FLAGS": "--xla_force_host_platform_device_count=1",
+    })
+    procs = []
+    for pid in range(nproc):
+        lo = pid * cores_per_proc
+        cores = ",".join(str(lo + i) for i in range(cores_per_proc))
+        procs.append(subprocess.Popen(
+            ["taskset", "-c", cores, sys.executable, script,
+             str(pid), str(nproc), str(port), str(cpp), str(iters),
+             str(dim)],
+            env=env, cwd=os.getcwd(), stdout=subprocess.PIPE,
+            stderr=subprocess.STDOUT, text=True))
+    outs = [p.communicate(timeout=1800)[0] for p in procs]
+    for pid, (p, out) in enumerate(zip(procs, outs)):
+        if p.returncode != 0:
+            raise SystemExit(
+                f"proc {pid}/{nproc} failed:\n{out[-3000:]}")
+    line = [ln for ln in outs[0].splitlines()
+            if ln.startswith("{")][-1]
+    return json.loads(line)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--chains-per-proc", type=int, default=128)
+    ap.add_argument("--iters", type=int, default=150)
+    ap.add_argument("--dim", type=int, default=25)
+    ap.add_argument("--cores-per-proc", type=int, default=2)
+    ap.add_argument("--reps", type=int, default=3,
+                    help="best-of-N to tame host-load noise")
+    ap.add_argument("--out", default="tools/scaling_cpu_2proc.json")
+    args = ap.parse_args()
+
+    res = {}
+    for nproc in (1, 2):
+        best = None
+        for _ in range(args.reps):
+            r = run_config(nproc, args.chains_per_proc, args.iters,
+                           args.dim, args.cores_per_proc)
+            print(json.dumps(r), flush=True)
+            if best is None or r["draws_per_s"] > best["draws_per_s"]:
+                best = r
+        res[nproc] = best
+
+    eff = res[2]["draws_per_s"] / (2.0 * res[1]["draws_per_s"])
+    out = {
+        "method": (
+            "weak scaling, fused megakernel, chain-sharded over a "
+            "global jax.distributed mesh; 1-proc and 2-proc runs "
+            "each pinned to {} cores per process (taskset), {} "
+            "chains per process, funnel-{}, fixed tuning, best of "
+            "{} reps".format(args.cores_per_proc,
+                             args.chains_per_proc, args.dim,
+                             args.reps)),
+        "run_1proc": res[1],
+        "run_2proc": res[2],
+        "scaling_efficiency": round(eff, 4),
+        "collectives_in_timed_loop": (
+            "loop-termination any() all-reduce of one bool per "
+            "16-round flush period; no other cross-chain "
+            "communication in the hot loop (warmup off)"),
+        "captured_at": time.strftime("%Y-%m-%dT%H:%M:%SZ",
+                                     time.gmtime()),
+    }
+    with open(args.out, "w") as f:
+        json.dump(out, f, indent=1)
+    print(json.dumps({"scaling_efficiency": out["scaling_efficiency"],
+                      "out": args.out}), flush=True)
+
+
+if __name__ == "__main__":
+    main()
