@@ -73,7 +73,7 @@ d = jax.make_array_from_single_device_arrays(
                                jax.local_devices()[0])])
 
 kw = dict(target=t, cfg=wt.WalnutsConfig(m=6), num_iter=iters,
-          stop_mode="min_per_chain", ring_rows=8, diag_rows=8,
+          stop_mode="total", ring_rows=8, diag_rows=8,
           rng="hash")
 
 # compile + execute once (also converges the caches), then barrier
@@ -95,7 +95,7 @@ if pid == 0:
     print(json.dumps({
         "nproc": nproc, "chains_global": C, "iters": iters,
         "seconds": round(dt, 3),
-        "draws_per_s": round(C * iters / dt, 2),
+        "draws_per_s": round(int(np.asarray(jax.jit(lambda i: jnp.sum(i.astype(jnp.float64)))(out[3]))) / dt, 2),
         "grad_evals_per_s": round(n_grad / dt, 1),
     }), flush=True)
 """
@@ -162,7 +162,7 @@ def main():
             "weak scaling, fused megakernel, chain-sharded over a "
             "global jax.distributed mesh; 1-proc and 2-proc runs "
             "each pinned to {} cores per process (taskset), {} "
-            "chains per process, funnel-{}, fixed tuning, best of "
+            "chains per process, funnel-{}, fixed tuning, total-quota throughput mode (no slowest-chain barrier), best of "
             "{} reps".format(args.cores_per_proc,
                              args.chains_per_proc, args.dim,
                              args.reps)),
