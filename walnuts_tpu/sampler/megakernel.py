@@ -312,8 +312,15 @@ def _bsel(m, a, b):
 
 
 def _make_round_body(*, target, cfg, warmup, stop_mode, num_iter, R,
-                     C, D, dtype, micro_unroll=1):
+                     C, D, dtype, micro_unroll=1, ablate=()):
     """Build the one-round state transition ``body(st, rnd) -> st``.
+
+    ``ablate`` (PROFILING ONLY — breaks sampler semantics): skip
+    named cost centres to measure their share of the round.
+    ``"slab"`` drops the span-slab store + merge U-turn check;
+    ``"stage"`` drops the diagnostics-row stack and the
+    sample/diag staging writes.  Used by ``tools/profile_round.py``;
+    never set in production paths.
 
     The round body is pure masked elementwise jnp over ``[C]`` /
     ``[C, D]`` state — no host control flow and no RNG (the caller
@@ -750,11 +757,14 @@ def _make_round_body(*, target, cfg, warmup, stop_mode, num_iter, R,
             sel_l=jnp.where(sel, abs_id, st.sel_l),
             idx_time=jnp.where(sel, signed_time, st.idx_time),
             orbit_len=st.orbit_len + jnp.where(olen_mask, st.h_loc, 0.0),
-            slab_q=jnp.where(_colv(store_lvls),
-                             st.qa[:, None, :], st.slab_q),
-            slab_v=jnp.where(_colv(store_lvls),
-                             v_orb[:, None, :], st.slab_v),
         )
+        if "slab" not in ablate:
+            st = st._replace(
+                slab_q=jnp.where(_colv(store_lvls),
+                                 st.qa[:, None, :], st.slab_q),
+                slab_v=jnp.where(_colv(store_lvls),
+                                 v_orb[:, None, :], st.slab_v),
+            )
 
         if warmup is not None and warmup.adapt_h:
             # every finite completed macro step feeds the step-size
@@ -791,14 +801,17 @@ def _make_round_body(*, target, cfg, warmup, stop_mode, num_iter, R,
         adj_ut = uturn(eq, ev, lq, lv)
 
         # fused merge checks against span-start slab states
-        lvl_mask = check_lvl
-        d_f = st.qa[:, None, :] - st.slab_q
-        dot_new = jnp.sum(v_orb[:, None, :] * d_f, axis=-1)
-        dot_old = jnp.sum(st.slab_v * d_f, axis=-1)
-        ut_all = _bsel(_col(fwd_dir),
-                        (dot_new < 0.0) | (dot_old < 0.0),
-                        (dot_new > 0.0) | (dot_old > 0.0))
-        merge_ut = jnp.any(lvl_mask & ut_all, axis=1)
+        if "slab" in ablate:
+            merge_ut = jnp.zeros((C,), bool)
+        else:
+            lvl_mask = check_lvl
+            d_f = st.qa[:, None, :] - st.slab_q
+            dot_new = jnp.sum(v_orb[:, None, :] * d_f, axis=-1)
+            dot_old = jnp.sum(st.slab_v * d_f, axis=-1)
+            ut_all = _bsel(_col(fwd_dir),
+                           (dot_new < 0.0) | (dot_old < 0.0),
+                           (dot_new > 0.0) | (dot_old > 0.0))
+            merge_ut = jnp.any(lvl_mask & ut_all, axis=1)
         depth_done = st.depth_done | (pair_ok & (adj_ut | merge_ut))
         st = st._replace(depth_done=depth_done,
                          stop_code=jnp.where(forced, 999, st.stop_code))
@@ -869,7 +882,10 @@ def _make_round_body(*, target, cfg, warmup, stop_mode, num_iter, R,
         either_passive = (st.lwt_sum_b < log_zero_edge) | (
             st.lwt_sum_f < log_zero_edge)
         nst_ = jnp.maximum(st.n_states, 1).astype(dtype)
-        diag_row = jnp.stack([
+        if "stage" in ablate:
+            diag_row = None
+        else:
+            diag_row = jnp.stack([
             st.sel_l.astype(dtype),
             st.n_doubl_sampled.astype(dtype),
             st.orbit_len, st.orbit_len_sam,
@@ -898,21 +914,28 @@ def _make_round_body(*, target, cfg, warmup, stop_mode, num_iter, R,
         # draw index; the flush takes it mod R / mod Rd, so the
         # samples and diagnostics rings each stay uniform most-recent
         # rings even when Rd does not divide R.
-        row = st.it
-        gen = target.generated(st.q_prop)
-        store = done
-        if stop_mode == "min_per_chain":
-            store = done & (st.it < num_iter)   # first-K draws only
-        use0 = store & ~st.pend0
-        use1 = store & st.pend0          # slot 1 free by construction
-        pend0 = st.pend0 | use0
-        pend1 = st.pend1 | use1
-        prow0 = jnp.where(use0, row, st.prow0)
-        prow1 = jnp.where(use1, row, st.prow1)
-        pgen0 = jnp.where(_col(use0), gen, st.pgen0)
-        pgen1 = jnp.where(_col(use1), gen, st.pgen1)
-        pdiag0 = jnp.where(use0[None, :], diag_row, st.pdiag0)
-        pdiag1 = jnp.where(use1[None, :], diag_row, st.pdiag1)
+        if "stage" in ablate:
+            pend0, pend1 = st.pend0, st.pend1
+            prow0, prow1 = st.prow0, st.prow1
+            pgen0, pgen1 = st.pgen0, st.pgen1
+            pdiag0, pdiag1 = st.pdiag0, st.pdiag1
+        else:
+            row = st.it
+            gen = target.generated(st.q_prop)
+            store = done
+            if stop_mode == "min_per_chain":
+                # first-K draws only
+                store = done & (st.it < num_iter)
+            use0 = store & ~st.pend0
+            use1 = store & st.pend0   # slot 1 free by construction
+            pend0 = st.pend0 | use0
+            pend1 = st.pend1 | use1
+            prow0 = jnp.where(use0, row, st.prow0)
+            prow1 = jnp.where(use1, row, st.prow1)
+            pgen0 = jnp.where(_col(use0), gen, st.pgen0)
+            pgen1 = jnp.where(_col(use1), gen, st.pgen1)
+            pdiag0 = jnp.where(use0[None, :], diag_row, st.pdiag0)
+            pdiag1 = jnp.where(use1[None, :], diag_row, st.pdiag1)
 
         if warmup is not None:
             # per-chain tuning update at transition completion, after
@@ -974,7 +997,8 @@ def _make_round_body(*, target, cfg, warmup, stop_mode, num_iter, R,
 @partial(jax.jit, static_argnames=("target", "cfg", "num_iter",
                                    "stop_mode", "warmup", "ring_rows",
                                    "diag_rows", "rounds", "rng",
-                                   "micro_unroll", "round_unroll"))
+                                   "micro_unroll", "round_unroll",
+                                   "ablate"))
 def run_walnuts_fused(key, q0, h_step, delta, *, target,
                       cfg: WalnutsConfig, num_iter: int,
                       stop_mode: str = "per_chain",
@@ -986,7 +1010,8 @@ def run_walnuts_fused(key, q0, h_step, delta, *, target,
                       adapt_state=None,
                       rng: str = "hash",
                       micro_unroll: int = 1,
-                      round_unroll: int = 1):
+                      round_unroll: int = 1,
+                      ablate: tuple = ()):
     """Stream WALNUTS transitions with up to ``micro_unroll`` batched
     micro steps per round.
 
@@ -1193,7 +1218,7 @@ def run_walnuts_fused(key, q0, h_step, delta, *, target,
     round_body = _make_round_body(
         target=target, cfg=cfg, warmup=warmup, stop_mode=stop_mode,
         num_iter=num_iter, R=R, C=C, D=D, dtype=dtype,
-        micro_unroll=micro_unroll)
+        micro_unroll=micro_unroll, ablate=ablate)
 
     if rng == "hash":
         # identical seed derivation + keying to the Pallas engine
