@@ -257,18 +257,41 @@ def run_one(args, only):
         q0 = stt.qc
         n_grad += int(np.asarray(stt.grad_ct, np.int64).sum())
 
-    stt = _stream(jax.random.fold_in(key, 2), q0, h_t, d_t, target=t,
-                  cfg=cfg, num_iter=arm_iters, tag=tag + ":sample")
-    got = int(np.asarray(stt.it).min())
-    if got < arm_iters:
-        raise SystemExit(
-            f"{tag}: sample stream truncated at {got}/{arm_iters} "
-            "draws — refusing to write a zero-padded fragment")
-    n_grad += int(np.asarray(stt.grad_ct, np.int64).sum())
+    # The sample phase streams in SEGMENTS of <= 500 draws with a
+    # ring sized to the segment.  A single num_iter-sized ring is
+    # quadratically wasteful: the megakernel flush rewrites the whole
+    # [R, C, dg] ring every 16 rounds (dense one-hot masked write),
+    # so at R = 6000 (2.3 GB) the flush alone costs ~11 ms and the
+    # run is ~100% flush-bound — measured live in r5: 29 draws/min
+    # with R = 6000 vs ~250 draws/min with a small ring (this also
+    # explains the round-4 production runs' ~33 draws/min).  Each
+    # segment holds its chains' FIRST `n` draws exactly as before;
+    # segments concatenate into the same contiguous per-chain draw
+    # sequence (q0 carries across segment boundaries).
+    key_s = jax.random.fold_in(key, 2)
+    q_cur = q0
+    gen_parts = []
+    remaining = arm_iters
+    i_seg = 0
+    seg_size = int(os.environ.get("SW_SEGMENT", "500"))
+    while remaining > 0:
+        n = min(seg_size, remaining)
+        stt = _stream(jax.random.fold_in(key_s, i_seg), q_cur, h_t,
+                      d_t, target=t, cfg=cfg, num_iter=n,
+                      tag=f"{tag}:sample{i_seg}")
+        got = int(np.asarray(stt.it).min())
+        if got < n:
+            raise SystemExit(
+                f"{tag}: segment {i_seg} truncated at {got}/{n} "
+                "draws — refusing to write a zero-padded fragment")
+        gen_parts.append(np.asarray(stt.samples, np.float64)[:n])
+        q_cur = stt.qc
+        n_grad += int(np.asarray(stt.grad_ct, np.int64).sum())
+        remaining -= n
+        i_seg += 1
     dt = time.perf_counter() - t0
 
-    # ring rows [0, iters) hold each chain's first `iters` draws
-    gen = np.asarray(stt.samples, np.float64)[:arm_iters]
+    gen = np.concatenate(gen_parts, axis=0)
     # constrained layout: [sigma, z (T-1), x (T), tau (T)]
     bands = {}
     for name, sl in [("sigma", slice(0, 1)),
