@@ -91,11 +91,15 @@ jax.block_until_ready(out[0])
 dt = time.perf_counter() - t0
 n_grad = int(np.asarray(
     jax.jit(lambda g: jnp.sum(g.astype(jnp.float64)))(out[4])))
+# collective sums must run on EVERY process (a pid-0-only jit on a
+# global array deadlocks the other process at the shutdown barrier)
+n_draws = int(np.asarray(
+    jax.jit(lambda i: jnp.sum(i.astype(jnp.float64)))(out[3])))
 if pid == 0:
     print(json.dumps({
         "nproc": nproc, "chains_global": C, "iters": iters,
         "seconds": round(dt, 3),
-        "draws_per_s": round(int(np.asarray(jax.jit(lambda i: jnp.sum(i.astype(jnp.float64)))(out[3]))) / dt, 2),
+        "draws_per_s": round(n_draws / dt, 2),
         "grad_evals_per_s": round(n_grad / dt, 1),
     }), flush=True)
 """
