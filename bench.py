@@ -43,6 +43,7 @@ DELTA0 = 0.3
 WARMUP = 700       # untimed in-loop megakernel warmup transitions
 ITERS = 300        # timed per-chain draw budget (min_per_chain mode)
 NATIVE_ITERS = 3000
+ROUND_UNROLL = 1   # full-body unroll; set from tools/ladder r5 data
 MICRO_UNROLL = 4   # measured best rung on TPU v5e (tools/ladder_tpu_r4.json:
                    # K=1 10.9M, K=2 13.1M, K=4 13.3M, K=8 13.0M grad/s)
 
@@ -301,7 +302,8 @@ def timed_phase(cfg_json):
     # round-keyed threefry draws (measured 8.97M vs 8.22M grad/s)
     kw = dict(target=target, cfg=cfg2, num_iter=iters,
               stop_mode="min_per_chain", rounds=6000, diag_rows=8,
-              rng="hash", micro_unroll=MICRO_UNROLL)
+              rng="hash", micro_unroll=MICRO_UNROLL,
+              round_unroll=ROUND_UNROLL)
 
     def snapshot(stt, dt, want_ess):
         """Build a record from the engine state: exact int64 grad
@@ -322,6 +324,7 @@ def timed_phase(cfg_json):
             "device": str(jax.devices()[0]),
             "platform": pc.get("platform", "tpu"),
             "micro_unroll": MICRO_UNROLL,
+            "round_unroll": ROUND_UNROLL,
         }
         rows = int(min(cnt.min(), iters))
         if want_ess and rows >= 8:
