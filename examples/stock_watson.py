@@ -241,6 +241,43 @@ def run_one(args, only):
     d_t = jnp.full((C,), 0.3, jnp.float32)
     t0 = time.perf_counter()
     n_grad = 0
+    secs_prev = 0.0
+
+    # Disk checkpoints between phases/segments: the axon TPU tunnel
+    # intermittently stalls mid-run (observed 3x in r5); the watchdog
+    # kills and relaunches, and without checkpoints each relaunch
+    # redid the burn-in and every completed sample segment.  The
+    # phases are deterministic given (stamp, phase index), so resume
+    # is exact.  Only the fixed-tuning protocol (warmup == 0) is
+    # checkpointed.
+    ck_dir = "/var/tmp/sw_ckpt"
+    os.makedirs(ck_dir, exist_ok=True)
+    ck = os.path.join(ck_dir, tag)
+    meta_path = ck + ".meta.json"
+    meta = {"stamp": _stamp(args, tag), "burnin_done": False,
+            "segs": 0, "n_grad": 0, "secs": 0.0}
+    use_ck = args.warmup == 0
+    if use_ck and os.path.exists(meta_path):
+        try:
+            with open(meta_path) as f:
+                cand = json.load(f)
+            if cand.get("stamp") == meta["stamp"]:
+                meta = cand
+                secs_prev = float(meta.get("secs", 0.0))
+                print(f"{tag}: resuming from checkpoint "
+                      f"(burnin_done={meta['burnin_done']}, "
+                      f"segs={meta['segs']})", flush=True)
+        except Exception:
+            pass
+
+    def save_meta():
+        if not use_ck:
+            return
+        meta["secs"] = secs_prev + (time.perf_counter() - t0)
+        tmpm = meta_path + ".tmp"
+        with open(tmpm, "w") as f:
+            json.dump(meta, f)
+        os.replace(tmpm, meta_path)
 
     if adapt and args.warmup > 0:
         wu = wt.WarmupConfig(warmup_iter=args.warmup, pooled=True)
@@ -250,12 +287,19 @@ def run_one(args, only):
         q0 = stt.qc
         h_t, d_t = stt.h_cur, stt.delta_cur
         n_grad += int(np.asarray(stt.grad_ct, np.int64).sum())
-    if arm_burnin > 0:
+    if meta["burnin_done"]:
+        q0 = jnp.asarray(np.load(ck + ".qburn.npy"))
+        n_grad = meta["n_grad"]
+    elif arm_burnin > 0:
         stt = _stream(jax.random.fold_in(key, 1), q0, h_t, d_t,
                       target=t, cfg=cfg, num_iter=arm_burnin,
                       ring_rows=8, tag=tag + ":burnin")
         q0 = stt.qc
         n_grad += int(np.asarray(stt.grad_ct, np.int64).sum())
+        if use_ck:
+            np.save(ck + ".qburn.npy", np.asarray(q0, np.float32))
+            meta.update(burnin_done=True, n_grad=n_grad)
+            save_meta()
 
     # The sample phase streams in SEGMENTS of <= 500 draws with a
     # ring sized to the segment.  A single num_iter-sized ring is
@@ -269,11 +313,15 @@ def run_one(args, only):
     # segments concatenate into the same contiguous per-chain draw
     # sequence (q0 carries across segment boundaries).
     key_s = jax.random.fold_in(key, 2)
-    q_cur = q0
-    gen_parts = []
-    remaining = arm_iters
-    i_seg = 0
     seg_size = int(os.environ.get("SW_SEGMENT", "500"))
+    n_seg = -(-arm_iters // seg_size)
+    i_seg = meta["segs"] if use_ck else 0
+    if i_seg > 0:
+        q_cur = jnp.asarray(np.load(ck + f".q{i_seg}.npy"))
+        n_grad = meta["n_grad"]
+    else:
+        q_cur = q0
+    remaining = arm_iters - i_seg * seg_size
     while remaining > 0:
         n = min(seg_size, remaining)
         stt = _stream(jax.random.fold_in(key_s, i_seg), q_cur, h_t,
@@ -284,14 +332,31 @@ def run_one(args, only):
             raise SystemExit(
                 f"{tag}: segment {i_seg} truncated at {got}/{n} "
                 "draws — refusing to write a zero-padded fragment")
-        gen_parts.append(np.asarray(stt.samples, np.float64)[:n])
         q_cur = stt.qc
         n_grad += int(np.asarray(stt.grad_ct, np.int64).sum())
         remaining -= n
         i_seg += 1
-    dt = time.perf_counter() - t0
+        if use_ck:
+            np.save(ck + f".gen{i_seg - 1}.npy",
+                    np.asarray(stt.samples, np.float32)[:n])
+            np.save(ck + f".q{i_seg}.npy",
+                    np.asarray(q_cur, np.float32))
+            meta.update(segs=i_seg, n_grad=n_grad)
+            save_meta()
+        else:
+            np.save(ck + f".gen{i_seg - 1}.npy",
+                    np.asarray(stt.samples, np.float32)[:n])
+    dt = secs_prev + time.perf_counter() - t0
 
-    gen = np.concatenate(gen_parts, axis=0)
+    gen = np.concatenate(
+        [np.load(ck + f".gen{i}.npy").astype(np.float64)
+         for i in range(n_seg)], axis=0)
+    for i in range(n_seg):
+        os.remove(ck + f".gen{i}.npy")
+    for p in (meta_path, ck + ".qburn.npy") + tuple(
+            ck + f".q{i}.npy" for i in range(1, n_seg + 1)):
+        if os.path.exists(p):
+            os.remove(p)
     # constrained layout: [sigma, z (T-1), x (T), tau (T)]
     bands = {}
     for name, sl in [("sigma", slice(0, 1)),
