@@ -70,6 +70,12 @@ from .driver import WarmupConfig
 from .transition import WalnutsConfig
 
 _BIG_I32 = 2**30  # Python int: jnp scalars can't close over Pallas kernels
+
+
+def _slab_dtype(dtype):
+    """Span-slab storage dtype: bf16 under f32 runs (see the state
+    init comment), the run dtype otherwise."""
+    return jnp.bfloat16 if dtype == jnp.float32 else dtype
 FWD, R2P, BWD = 0, 1, 2
 _FLUSH_EVERY = 16  # rounds between ring-buffer scatter flushes
 
@@ -759,11 +765,14 @@ def _make_round_body(*, target, cfg, warmup, stop_mode, num_iter, R,
             orbit_len=st.orbit_len + jnp.where(olen_mask, st.h_loc, 0.0),
         )
         if "slab" not in ablate:
+            sdt = st.slab_q.dtype
             st = st._replace(
                 slab_q=jnp.where(_colv(store_lvls),
-                                 st.qa[:, None, :], st.slab_q),
+                                 st.qa[:, None, :].astype(sdt),
+                                 st.slab_q),
                 slab_v=jnp.where(_colv(store_lvls),
-                                 v_orb[:, None, :], st.slab_v),
+                                 v_orb[:, None, :].astype(sdt),
+                                 st.slab_v),
             )
 
         if warmup is not None and warmup.adapt_h:
@@ -800,14 +809,30 @@ def _make_round_body(*, target, cfg, warmup, stop_mode, num_iter, R,
         lv = jnp.where(_col(fwd_dir), v_orb, st.v1)
         adj_ut = uturn(eq, ev, lq, lv)
 
-        # fused merge checks against span-start slab states
+        # fused merge checks against span-start slab states.  The
+        # dots expand as differences of direct products —
+        # sum(v*(qa-slab_q)) = v.qa - sum(v*slab_q) — so every
+        # [C, S, D] reduction fuses multiply+reduce over the raw slab
+        # with NO shared [C, S, D] intermediate: the original
+        # d_f = qa - slab_q was consumed by both dots, which made XLA
+        # materialise and re-read a 20 MB temporary every round
+        # (tools/profile_round.py r5: the slab block was 54% of the
+        # round; this form cuts most of it).
         if "slab" in ablate:
             merge_ut = jnp.zeros((C,), bool)
         else:
             lvl_mask = check_lvl
-            d_f = st.qa[:, None, :] - st.slab_q
-            dot_new = jnp.sum(v_orb[:, None, :] * d_f, axis=-1)
-            dot_old = jnp.sum(st.slab_v * d_f, axis=-1)
+            vq = jnp.sum(v_orb * st.qa, axis=-1)          # [C]
+            # .astype inlined per-use: a shared f32 copy of the slab
+            # would re-materialise the [C, S, D] temporary this form
+            # exists to avoid
+            dot_new = vq[:, None] - jnp.sum(
+                st.slab_q.astype(dtype) * v_orb[:, None, :], axis=-1)
+            dot_old = jnp.sum(
+                st.slab_v.astype(dtype) * st.qa[:, None, :],
+                axis=-1) - jnp.sum(
+                st.slab_v.astype(dtype) * st.slab_q.astype(dtype),
+                axis=-1)
             ut_all = _bsel(_col(fwd_dir),
                            (dot_new < 0.0) | (dot_old < 0.0),
                            (dot_new > 0.0) | (dot_old > 0.0))
@@ -1178,8 +1203,14 @@ def run_walnuts_fused(key, q0, h_step, delta, *, target,
         c_max_d=jnp.full((C,), -_BIG_I32),
         lwt_min=jnp.full((C,), inf), lwt_max=jnp.full((C,), -inf),
         n_states=zi, n_if_neq_ib=zi, n_if_zero=zi,
-        slab_q=jnp.zeros((C, S, D), dtype),
-        slab_v=jnp.zeros((C, S, D), dtype),
+        # slab in bf16 under f32 runs: the span slab is pure store/
+        # sign-check state (U-turn dots of O(1) quantities), and its
+        # [C, S, D] traffic is the single largest round cost
+        # (tools/profile_round.py r5: slab block = 54% of the round);
+        # checks cast up to f32 inside fused multiply-reduces, so
+        # only storage is rounded.  f64 runs keep an f64 slab.
+        slab_q=jnp.zeros((C, S, D), _slab_dtype(dtype)),
+        slab_v=jnp.zeros((C, S, D), _slab_dtype(dtype)),
         samples=jnp.zeros((R, C, dg), dtype),
         diags=jnp.zeros((Rd, C, 24), dtype),
         grad_ct=zi,
