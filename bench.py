@@ -43,9 +43,11 @@ DELTA0 = 0.3
 WARMUP = 700       # untimed in-loop megakernel warmup transitions
 ITERS = 300        # timed per-chain draw budget (min_per_chain mode)
 NATIVE_ITERS = 3000
-ROUND_UNROLL = 1   # full-body unroll; set from tools/ladder r5 data
-MICRO_UNROLL = 4   # measured best rung on TPU v5e (tools/ladder_tpu_r4.json:
-                   # K=1 10.9M, K=2 13.1M, K=4 13.3M, K=8 13.0M grad/s)
+ROUND_UNROLL = 1   # U>1 measured slower once the bf16 slab landed
+                   # (tools/ladder_tpu_r5.json)
+MICRO_UNROLL = 4   # best rung on TPU v5e with the bf16 slab
+                   # (tools/ladder_tpu_r5.json: K=1 15.4M, K=2 19.7M,
+                   # K=4 19.9M, K=8 18.9M grad/s)
 
 # hard wall-clock budgets per phase (seconds); parent enforces them as
 # subprocess timeouts, phases ALSO self-limit slightly below so they
