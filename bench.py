@@ -229,6 +229,11 @@ def native_phase(cfg_json):
 
     pc = json.loads(cfg_json)
     iters = pc.get("native_iters", NATIVE_ITERS)
+    # launched concurrently with the TPU warmup phase: poll for the
+    # warm-state file it produces (bounded by the warmup budget)
+    deadline = time.perf_counter() + pc.get("state_wait", 0)
+    while not os.path.exists(STATE) and time.perf_counter() < deadline:
+        time.sleep(5)
     with np.load(STATE) as f:
         h_adapt = float(np.median(f["h"]))
         delta_adapt = float(np.median(f["delta"]))
@@ -445,6 +450,22 @@ def main():
                    "extra": {"error": "no phase produced a result",
                              "platform": platform}})
         extra = rec.setdefault("extra", {})
+        native = _load(NATIVE, {})
+        if native and "native_cpp_grad_evals_per_s" not in extra:
+            # the native comparator may finish after the timed phase
+            # (they run concurrently) — attach parent-side
+            extra["native_cpp_grad_evals_per_s"] = round(
+                native["native_grad_evals_per_s"], 1)
+            extra["native_cpp_min_ess_per_s"] = round(
+                native["native_min_ess_per_s"], 3)
+            if rec.get("value", 0) > 0:
+                extra["vs_native_cpp_grad"] = round(
+                    rec["value"] / native["native_grad_evals_per_s"],
+                    2)
+            if "min_ess_per_s" in extra:
+                extra["vs_native_cpp_min_ess"] = round(
+                    extra["min_ess_per_s"]
+                    / max(native["native_min_ess_per_s"], 1e-12), 2)
         rec_platform = extra.get("platform", platform)
         if rec_platform == "tpu" and rec.get("value", 0) > 0 \
                 and not extra.get("partial"):
@@ -536,7 +557,8 @@ def main():
         if platform == "tpu":
             nenv = dict(os.environ)
             nenv.update(cpu_env)
-            ncfg = dict(base_cfg, native_iters=NATIVE_ITERS)
+            ncfg = dict(base_cfg, native_iters=NATIVE_ITERS,
+                        state_wait=budget["warmup"] + 40)
             native_proc = subprocess.Popen(
                 [sys.executable, me, "--phase", "native",
                  "--cfg", json.dumps(ncfg)],
@@ -557,18 +579,8 @@ def main():
                 native_proc.kill()
             return
 
-        if native_proc is not None:
-            # usually already finished during warmup; never let it eat
-            # into the timed budget
-            nb = max(min(budget["native"],
-                         remaining() - budget["timed"] - 20), 5)
-            try:
-                native_proc.wait(timeout=nb)
-            except subprocess.TimeoutExpired:
-                native_proc.kill()
-                _log("native comparator still running — killed "
-                     "(timed budget takes precedence)")
-        elif remaining() > budget["timed"] + budget["native"] + 30:
+        if native_proc is None \
+                and remaining() > budget["timed"] + budget["native"] + 30:
             # CPU fallback path: sequential as before (concurrent CPU
             # phases would contend for the same cores)
             ncfg = dict(base_cfg, native_iters=REDUCED["native_iters"])
@@ -587,6 +599,15 @@ def main():
                                         REDUCED["iters"]),
                         budget=tb)
             run_phase("timed", tcfg, tb + 15, env_extra)
+        if native_proc is not None:
+            # CPU-only; ran concurrently with warmup+timed — collect
+            # it now so emit_best can attach the comparison
+            try:
+                native_proc.wait(timeout=max(
+                    min(budget["native"], remaining() - 10), 5))
+            except subprocess.TimeoutExpired:
+                native_proc.kill()
+                _log("native comparator unfinished — killed")
 
     # 1. TPU preflight with bounded retry + backoff
     platform = "tpu"
