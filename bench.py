@@ -308,7 +308,7 @@ def timed_phase(cfg_json):
     # chain across batch compositions AND ~9% faster than the
     # round-keyed threefry draws (measured 8.97M vs 8.22M grad/s)
     kw = dict(target=target, cfg=cfg2, num_iter=iters,
-              stop_mode="min_per_chain", rounds=6000, diag_rows=8,
+              stop_mode="min_per_chain", rounds=12000, diag_rows=8,
               rng="hash", micro_unroll=MICRO_UNROLL,
               round_unroll=ROUND_UNROLL)
 
