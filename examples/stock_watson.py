@@ -36,10 +36,13 @@ coordinates compound through the state cumsums to ``|z| ~ 30-50``, so
 freezes in the flat far tail (probed: split-Rhat 2.8e9, tau window
 means pinned at -9.3e10 for 2000 transitions) — which is exactly why
 the reference precomputed an init.  After init, a burn-in segment with
-a tiny ring, then the banded sampling segment whose ring holds each
-chain's first ``--iters`` post-burn-in draws exactly
-(``min_per_chain`` stores only the first-K rows, so the ring never
-wraps).  Many chains replace the reference's 11k single-chain run, and
+a tiny ring, then the sampling phase streamed as <= 500-draw SEGMENTS,
+each holding its chains' first ``n`` post-boundary draws exactly
+(``min_per_chain`` stores only the first-K rows, so a segment ring
+never wraps); segments concatenate into each chain's contiguous first
+``--iters`` draws, and disk checkpoints at segment boundaries make
+tunnel-stall restarts resume instead of redo (see run_one).  Many
+chains replace the reference's 11k single-chain run, and
 convergence is asserted with split-Rhat < 1.05 (VERDICT r2 item 2)
 rather than eyeballed.  ``--warmup N`` optionally enables the in-loop
 pooled H/delta adaptation instead of the reference's fixed tuning.
