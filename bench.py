@@ -312,13 +312,22 @@ def timed_phase(cfg_json):
               rng="hash", micro_unroll=MICRO_UNROLL,
               round_unroll=ROUND_UNROLL)
 
-    def snapshot(stt, dt, want_ess):
+    def snapshot(stt, dt, want_ess, base=(0, 0.0)):
         """Build a record from the engine state: exact int64 grad
         count; ESS/sanity from the valid sub-rectangle [0:min(cnt))
-        (each chain's FIRST draws — unbiased)."""
+        (each chain's FIRST draws — unbiased).
+
+        ``base = (grads, seconds)`` at the end of the FIRST timed
+        invocation: the headline grad/s is the steady-state rate
+        excluding that invocation's one-time dispatch/alloc ramp
+        (measured r5: marginal rate ~20M vs ~16M cumulative — the
+        ramp was ~20%% of a 100 s run).  The ramp grads/seconds are
+        reported alongside; min-ESS/s keeps the FULL wall clock
+        (conservative: its draws include the ramp window)."""
         cnt = np.asarray(stt.it, np.int64)
         n_grad = int(np.asarray(stt.grad_ct, np.int64).sum())
-        grad_per_s = n_grad / dt
+        g_base, t_base = base
+        grad_per_s = (n_grad - g_base) / max(dt - t_base, 1e-9)
         extra = {
             "chains": chains,
             "iters_timed": iters,
@@ -333,6 +342,11 @@ def timed_phase(cfg_json):
             "micro_unroll": MICRO_UNROLL,
             "round_unroll": ROUND_UNROLL,
         }
+        if g_base:
+            extra["ramp_grad_evals"] = g_base
+            extra["ramp_seconds"] = round(t_base, 2)
+            extra["grad_evals_per_s_incl_ramp"] = round(
+                n_grad / dt, 1)
         rows = int(min(cnt.min(), iters))
         if want_ess and rows >= 8:
             draws = np.asarray(stt.samples, np.float64)[:rows]
@@ -376,16 +390,22 @@ def timed_phase(cfg_json):
 
     t0 = time.perf_counter()
     stt = None
+    base = (0, 0.0)
     for i in range(400):
         s, d, qf, cnt, ng, stt = run_walnuts_fused(
             jax.random.PRNGKey(3), q1, h_t, d_t, mk_state=stt, **kw)
         cnt_h = np.asarray(cnt)
         dt = time.perf_counter() - t0
-        # checkpoint a valid partial after every ~5 s invocation
-        g, ex = snapshot(stt, dt, want_ess=False)
+        # checkpoint a valid partial after every invocation
+        g, ex = snapshot(stt, dt, want_ess=False, base=base)
         _dump(_emit_record(g, ex, partial=True), PARTIAL)
         _log(f"timed inv {i}: min cnt {cnt_h.min()} "
-             f"({g/1e6:.1f}M grad/s)")
+             f"({g/1e6:.1f}M grad/s steady)")
+        if i == 0 and int(cnt_h.min()) < iters:
+            # rebase AFTER the first invocation's record: a run that
+            # finishes in one invocation keeps cumulative accounting
+            base = (int(np.asarray(stt.grad_ct, np.int64).sum()),
+                    time.perf_counter() - t0)
         if int(cnt_h.min()) >= iters:
             break
         if time.perf_counter() > deadline:
@@ -393,7 +413,7 @@ def timed_phase(cfg_json):
             break
     dt = time.perf_counter() - t0
 
-    grad_per_s, extra = snapshot(stt, dt, want_ess=True)
+    grad_per_s, extra = snapshot(stt, dt, want_ess=True, base=base)
     native = _load(NATIVE, {})
     if native:
         extra["native_cpp_grad_evals_per_s"] = round(
